@@ -1,0 +1,123 @@
+"""Stage 2: exact dedup over chunks — manifest, unique-chunk store, ratios.
+
+Relational re-expression of the reference's hash-index probe
+(/root/reference/writer.go:475-532):
+
+* J1 first-occurrence flag: ``row_number() over (partition by hash order by
+  file_id, seq) == 1`` — the ``_, ok := index[hash]`` probe (writer.go:482).
+* J2 backref to latest match: ``lag(global_seq) over (partition by hash order
+  by global_seq)`` — "Update hash to latest match" (writer.go:507-508).
+* J3 bounded window (format 2, writer.go:541-543): hits farther than
+  ``max_backref`` blocks are treated as new — a predicate, not a new join.
+
+Scale notes: the only shuffle is on ``hash`` (well distributed by
+construction — it IS a cryptographic hash, so no skew); AQE coalesces
+partitions. No global sort is required: ordering is per-hash-group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_seq(chunks: DataFrame, seq_bits: int = 20) -> DataFrame:
+    """Global stream position = file_id * 2^seq_bits + seq.
+
+    The reference numbers blocks monotonically over one stream
+    (writer.go:97); our corpus is the concatenation of per-file streams in
+    file_id order. Encoding avoids a global row_number sort (which would be
+    a single-partition bottleneck at 100 TB). seq_bits=20 allows 1M chunks
+    per file.
+    """
+    return chunks.withColumn(
+        "global_seq",
+        (F.col("file_id").cast("long") * (1 << seq_bits)) + F.col("seq"),
+    )
+
+
+def build_manifest(chunks: DataFrame, max_backref: int | None = None) -> DataFrame:
+    """Per-chunk dedup manifest: is_new + backref distance.
+
+    ``is_new`` marks the globally-first occurrence of each hash (J1);
+    ``backref`` is the distance (in global stream positions) to the most
+    recent prior occurrence (J2), null for new chunks. With ``max_backref``,
+    occurrences whose previous match is too far away are re-flagged new (J3,
+    format-2 semantics writer.go:541-543).
+    """
+    chunks = with_global_seq(chunks)
+    w = Window.partitionBy("hash").orderBy("global_seq")
+    out = (
+        chunks.withColumn("occ", F.row_number().over(w))
+        .withColumn("prev_seq", F.lag("global_seq").over(w))
+        .withColumn("backref", F.col("global_seq") - F.col("prev_seq"))
+        .withColumn("is_new", F.col("occ") == 1)
+    )
+    if max_backref is not None:
+        out = out.withColumn(
+            "is_new", F.col("is_new") | (F.col("backref") > max_backref)
+        )
+    return out.drop("occ", "prev_seq")
+
+
+def unique_chunks(manifest: DataFrame, corpus: DataFrame,
+                  content_col: str = "content") -> DataFrame:
+    """Payload store for first-occurrence chunks (the reference's data
+    stream, writer.go:483-497) — payload recovered JVM-side by slicing the
+    owning file's content; no bytes ever cross the Python boundary.
+    """
+    firsts = manifest.where("is_new").select("file_id", "offset", "length", "hash")
+    return (
+        firsts.join(corpus.select("file_id", content_col), "file_id")
+        .select(
+            "hash",
+            F.expr(
+                f"substring({content_col}, cast(offset + 1 as int), length)"
+            ).alias("payload"),
+        )
+    )
+
+
+def dedup_stats(manifest: DataFrame) -> DataFrame:
+    """A1/A2 aggregates: blocks, unique blocks, bytes, dedup ratio
+    (writer_test.go:54-66 'removed' metric)."""
+    return manifest.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_unique"),
+        F.sum("length").alias("total_bytes"),
+        F.sum(F.when(F.col("is_new"), F.col("length")).otherwise(0)).alias(
+            "unique_bytes"
+        ),
+        (1.0 - F.sum(F.when(F.col("is_new"), F.col("length")).otherwise(0))
+         / F.sum("length")).alias("dedup_ratio"),
+    )
+
+
+def max_mem(manifest: DataFrame, read_data_bytes: bool = True) -> DataFrame:
+    """A4 MaxMem — peak decoder memory via interval-overlap sweep
+    (reader.go:324-349): each unique hash is live from its first to its
+    last occurrence; answer = max running sum of (+size at first, -size
+    after last) over stream order. Window running-sum, single shuffle.
+    """
+    spans = (
+        with_global_seq(manifest)
+        .groupBy("hash")
+        .agg(
+            F.min("global_seq").alias("first_seq"),
+            F.max("global_seq").alias("last_seq"),
+            F.first("length").alias("length"),
+        )
+    )
+    delta = F.col("length") if read_data_bytes else F.lit(1)
+    events = spans.select(
+        F.col("first_seq").alias("pos"), delta.cast("long").alias("delta")
+    ).unionAll(
+        spans.select(
+            (F.col("last_seq") + 1).alias("pos"), (-delta).cast("long").alias("delta")
+        )
+    )
+    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        events.withColumn("live", F.sum("delta").over(w))
+        .agg(F.max("live").alias("max_mem"))
+    )

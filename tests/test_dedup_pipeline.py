@@ -1,0 +1,100 @@
+"""End-to-end Spark dedup slice: chunk → manifest → unique → reconstruct.
+
+Mirrors the reference round-trip tests (/root/reference/reader_test.go:15-73)
+and the bounded dedup-effectiveness assertions (writer_test.go:54-66).
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark import chunkers as ck
+from dedup_spark.operators.chunk import chunk_and_hash, fixed_chunks_relational
+from dedup_spark.operators.dedup import (
+    build_manifest, dedup_stats, max_mem, unique_chunks,
+)
+from dedup_spark.operators.reconstruct import reconstruct, verify_roundtrip
+
+
+@pytest.fixture(scope="module", params=["fixed", "dynamic", "entropy"])
+def pipeline(request, spark, corpus200):
+    mode = request.param
+    chunks = chunk_and_hash(corpus200, mode=mode, max_size=1024)
+    manifest = build_manifest(chunks).cache()
+    unique = unique_chunks(manifest, corpus200)
+    return mode, corpus200, chunks, manifest, unique
+
+
+def test_roundtrip_sha256(spark, pipeline):
+    _, corpus, _, manifest, unique = pipeline
+    bad = verify_roundtrip(corpus, manifest, unique)
+    assert bad.count() == 0
+
+
+def test_chunks_match_local_kernel(spark, pipeline):
+    """Spark stage reproduces the pure-Python kernel exactly (SURVEY §5.2)."""
+    mode, corpus, chunks, _, _ = pipeline
+    local = {r["file_id"]: r["content"] for r in corpus.collect()}
+    got = {}
+    for r in chunks.collect():
+        got.setdefault(r["file_id"], []).append(
+            (r["seq"], r["offset"], r["length"], bytes(r["hash"]))
+        )
+    for fid, content in local.items():
+        data = content.encode("utf-8")
+        expect = [
+            (i, off, ln, hashlib.sha1(data[off:off + ln]).digest())
+            for i, (off, ln) in enumerate(ck.chunk_fn(mode)(data, 1024))
+        ]
+        assert sorted(got.get(fid, [])) == expect, f"file {fid} mode {mode}"
+
+
+def test_dedup_effectiveness(spark, pipeline):
+    """Corpus has 40% injected dups: unique bytes must be well below total."""
+    mode, _, _, manifest, _ = pipeline
+    row = dedup_stats(manifest).collect()[0]
+    assert row["n_unique"] <= row["n_chunks"]
+    assert row["unique_bytes"] < row["total_bytes"]
+    assert 0.0 < row["dedup_ratio"] < 1.0
+
+
+def test_max_mem(spark, pipeline):
+    _, _, _, manifest, _ = pipeline
+    mm = max_mem(manifest).collect()[0]["max_mem"]
+    stats = dedup_stats(manifest).collect()[0]
+    assert 0 < mm <= stats["unique_bytes"]
+
+
+def test_bounded_backref_window(spark, corpus200):
+    """J3: with a tiny max_backref, fewer chunks count as dups
+    (format-2 semantics, writer.go:541-543)."""
+    chunks = chunk_and_hash(corpus200, mode="fixed", max_size=1024)
+    unbounded = build_manifest(chunks)
+    bounded = build_manifest(chunks, max_backref=1 << 20)  # ~1 file span
+    n_dup_unbounded = unbounded.where(~F.col("is_new")).count()
+    n_dup_bounded = bounded.where(~F.col("is_new")).count()
+    assert n_dup_bounded <= n_dup_unbounded
+
+
+def test_fixed_relational_matches_udf(spark, corpus200):
+    """The pure-JVM fixed chunker agrees with the Arrow-UDF path on
+    (file_id, seq, offset, length) — hashes differ only by algorithm."""
+    rel = fixed_chunks_relational(corpus200, 1024).select(
+        "file_id", "seq", "offset", "length"
+    )
+    udf = chunk_and_hash(corpus200, mode="fixed", max_size=1024).select(
+        "file_id", "seq", "offset", "length"
+    )
+    assert rel.exceptAll(udf).count() == 0
+    assert udf.exceptAll(rel).count() == 0
+
+
+def test_fixed_relational_offsets_are_chars(spark):
+    """Relational path slices characters; ASCII corpus keeps it equal to
+    byte offsets. Guard: multibyte content must go through the UDF path."""
+    df = spark.createDataFrame(
+        [(0, "a" * 2048)], "file_id long, content string"
+    )
+    rows = fixed_chunks_relational(df, 1024).orderBy("seq").collect()
+    assert [(r["seq"], r["length"]) for r in rows] == [(0, 1024), (1, 1024)]
