@@ -1,0 +1,61 @@
+"""Pipeline configuration (the reference's Mode/maxSize/maxMemory knobs —
+/root/reference/writer.go:43-70, 132-270 — generalized for the near-dup
+pipeline)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+MERSENNE31 = (1 << 31) - 1  # modulus for MinHash universal hashing; keeps
+# a*x+b inside int64 so the same arithmetic is expressible in ANSI SQL
+# (DuckDB oracle) and numpy without 128-bit math.
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # chunking (reference knobs)
+    mode: str = "dynamic"          # fixed | dynamic | entropy (writer.go:43-70)
+    max_size: int = 1024           # max block size (writer.go:37 MinBlockSize=512 floor)
+    hash_name: str = "sha1"        # per-block hash (README.md:110-115)
+    max_backref: int | None = None # format-2 bounded window (writer.go:541-543)
+
+    # signatures
+    shingle_w: int = 3             # chunk-hash w-grams
+    num_perm: int = 128            # MinHash permutations (K)
+    seed: int = 1315423911         # coefficient seed
+
+    # LSH
+    bands: int = 64                # b; r = K/b = 2 → P(catch | J=0.5) ≈ 1-0.75^64
+                                   # ≈ 1-1e-8, comfortably above the 0.99 recall
+                                   # gate; false candidates are killed by the
+                                   # exact-Jaccard verify stage
+    max_bucket: int = 256          # candidate-pair cap per band bucket (skew guard)
+    salt: int = 8                  # salt factor for hot band keys
+
+    # verification
+    jaccard_threshold: float = 0.5
+    simhash_hamming_max: int = 64  # prefilter on 64-bit simhash; 64 = off.
+                                   # On small shingle sets simhash variance is
+                                   # high enough that an aggressive gate costs
+                                   # recall (measured: J≈0.55 pairs at hamming
+                                   # >12 with ~14 shingles), so the exact-
+                                   # Jaccard verify is the default decider and
+                                   # the hamming gate is an opt-in prefilter
+                                   # for large-corpus runs.
+    min_lcs: int = 0               # optional suffix-array LCS gate (0 = off)
+
+    @property
+    def rows_per_band(self) -> int:
+        assert self.num_perm % self.bands == 0
+        return self.num_perm // self.bands
+
+
+def minhash_coeffs(k: int, seed: int):
+    """Deterministic (a, b) coefficient vectors for K permutations over
+    the Mersenne-31 field."""
+    import random
+
+    rng = random.Random(seed)
+    a = [rng.randrange(1, MERSENNE31) for _ in range(k)]
+    b = [rng.randrange(0, MERSENNE31) for _ in range(k)]
+    return a, b

@@ -1,0 +1,138 @@
+"""Stage 3: per-file signatures — chunk shingles → MinHash + SimHash.
+
+One ``mapInArrow`` pass over the corpus computes, per file:
+  chunks (CDC kernel) → shingles (w-grams of chunk hashes) →
+  K-permutation MinHash (batched numpy, Broder '97) + 64-bit SimHash
+  (Charikar '02, unweighted bit votes).
+
+Design notes for scale:
+- Signatures are computed in the SAME pass that chunks the file — no
+  groupBy(file_id) shuffle to reassemble chunk streams; the corpus scan is
+  the only input.
+- MinHash universal hash is ``(a_i * x + b_i) mod (2^31-1)`` with x a
+  31-bit reduction of the shingle hash: all arithmetic fits int64, so the
+  identical formula runs in numpy here, in pyspark.sql.functions for the
+  relational variant, and in ANSI SQL for the DuckDB oracle.
+- Empty files (no chunks) get an empty minhash/simhash=0 row so the
+  signature table stays 1:1 with the corpus (content_sha256 invariant
+  carried through).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..chunkers import chunk_fn
+from ..config import MERSENNE31, DedupConfig, minhash_coeffs
+
+SIG_SCHEMA = (
+    "file_id long, n_chunks int, n_shingles int, "
+    "minhash array<long>, simhash long"
+)
+
+_EMPTY_MINHASH_SENTINEL = MERSENNE31  # > any real hash value
+
+
+def shingle_hashes(data: bytes, cfg: DedupConfig) -> np.ndarray:
+    """Chunk → w-gram shingles → uint64 hashes (one content scan).
+
+    The shingle token stream is the file's CDC chunk-hash sequence — the
+    reference's dedup unit (writer.go Fragment.Hash) lifted to w-grams so
+    near-dup detection tolerates chunk-local edits.
+    """
+    fn = chunk_fn(cfg.mode)
+    digests = [
+        hashlib.new(cfg.hash_name, data[off:off + ln]).digest()
+        for off, ln in fn(data, cfg.max_size)
+    ]
+    n = len(digests)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), 0
+    w = min(cfg.shingle_w, n)
+    out = np.empty(n - w + 1, dtype=np.uint64)
+    for i in range(n - w + 1):
+        h = hashlib.blake2b(b"".join(digests[i:i + w]), digest_size=8).digest()
+        out[i] = int.from_bytes(h, "big")
+    return out, n
+
+
+def minhash_simhash(x: np.ndarray, a: np.ndarray, b: np.ndarray):
+    """Batched MinHash + SimHash from shingle hashes ``x`` (uint64)."""
+    if x.size == 0:
+        return np.full(a.shape[0], _EMPTY_MINHASH_SENTINEL, dtype=np.int64), 0
+    x31 = (x % np.uint64(MERSENNE31)).astype(np.int64)  # reduce into field
+    # (K, n) universal hashes; a,b int64, x31 < 2^31 → products < 2^62
+    hv = (a[:, None] * x31[None, :] + b[:, None]) % MERSENNE31
+    mh = hv.min(axis=1)
+    # SimHash: unweighted ±1 votes per bit of the raw 64-bit shingle hash
+    bits = (x[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    sim = 0
+    for j in range(64):
+        if votes[j] > 0:
+            sim |= 1 << j
+    # store as signed 64-bit (Spark long)
+    if sim >= 1 << 63:
+        sim -= 1 << 64
+    return mh, sim
+
+
+def compute_signatures(corpus: DataFrame, cfg: DedupConfig,
+                       content_col: str = "content",
+                       id_col: str = "file_id") -> DataFrame:
+    """Corpus → signatures DataFrame (SURVEY.md A7/A8)."""
+    a_list, b_list = minhash_coeffs(cfg.num_perm, cfg.seed)
+
+    def sig_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        a = np.asarray(a_list, dtype=np.int64)
+        b = np.asarray(b_list, dtype=np.int64)
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            contents = batch.column(1).to_pylist()
+            o_id, o_nc, o_ns, o_mh, o_sh = [], [], [], [], []
+            for fid, text in zip(ids, contents):
+                data = (text or "").encode("utf-8", "surrogatepass")
+                x, n_chunks = shingle_hashes(data, cfg)
+                mh, sim = minhash_simhash(x, a, b)
+                o_id.append(fid)
+                o_nc.append(n_chunks)
+                o_ns.append(int(x.size))
+                o_mh.append([int(v) for v in mh])
+                o_sh.append(sim)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, pa.int64()),
+                    pa.array(o_nc, pa.int32()),
+                    pa.array(o_ns, pa.int32()),
+                    pa.array(o_mh, pa.list_(pa.int64())),
+                    pa.array(o_sh, pa.int64()),
+                ],
+                names=["file_id", "n_chunks", "n_shingles", "minhash", "simhash"],
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("file_id"), F.col(content_col).alias("content")
+    ).mapInArrow(sig_batches, SIG_SCHEMA)
+
+
+def minhash_jaccard_est(col_a: str, col_b: str, k: int):
+    """Estimated Jaccard = fraction of agreeing MinHash components —
+    pure JVM expression (zip_with + aggregate)."""
+    return (
+        F.aggregate(
+            F.zip_with(
+                F.col(col_a), F.col(col_b),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / k
+    )

@@ -1,0 +1,169 @@
+"""Stage 4b: candidate verification — pairs → edges (SURVEY.md J8).
+
+Three gates, cheapest first:
+1. SimHash hamming prefilter: ``bit_count(simhash_src XOR simhash_dst)``
+   — one JVM expression, kills wildly-dissimilar candidates.
+2. Exact shingle-set Jaccard: per-file shingle-hash sets are joined to the
+   pair and intersected with ``array_intersect`` — still JVM-side; this is
+   the ground-truth similarity at the configured shingle/window config,
+   not an estimate.
+3. Optional suffix-array longest-common-substring gate (numpy,
+   applyInPandas) for byte-level confirmation (north_star's "suffix-array
+   based LCS filter") — off by default (min_lcs=0); the exact Jaccard gate
+   already decides at shingle granularity.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+
+
+def shingle_sets(corpus: DataFrame, cfg: DedupConfig,
+                 content_col: str = "content",
+                 id_col: str = "file_id") -> DataFrame:
+    """(file_id, shingles array<long>) via the signature kernel's shingler."""
+    import pyarrow as pa
+
+    from .signatures import shingle_hashes
+
+    def batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            contents = batch.column(1).to_pylist()
+            o_id, o_sh = [], []
+            for fid, text in zip(ids, contents):
+                data = (text or "").encode("utf-8", "surrogatepass")
+                x, _ = shingle_hashes(data, cfg)
+                # signed view for Spark long
+                o_id.append(fid)
+                o_sh.append([int(v) for v in x.astype(np.int64)])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_id, pa.int64()),
+                 pa.array(o_sh, pa.list_(pa.int64()))],
+                names=["file_id", "shingles"],
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("file_id"), F.col(content_col).alias("content")
+    ).mapInArrow(batches, "file_id long, shingles array<long>")
+
+
+def verify_pairs(pairs: DataFrame, signatures: DataFrame,
+                 shingles: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """pairs (src,dst) → verified edges with exact Jaccard.
+
+    Returns (src, dst, hamming, jaccard, verified).
+    """
+    sig = signatures.select("file_id", "simhash")
+    sh = shingles.select(
+        "file_id", F.array_distinct("shingles").alias("shingle_set")
+    )
+    e = (
+        pairs
+        .join(sig.withColumnsRenamed({"file_id": "src", "simhash": "simhash_src"}), "src")
+        .join(sig.withColumnsRenamed({"file_id": "dst", "simhash": "simhash_dst"}), "dst")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_src").bitwiseXOR(F.col("simhash_dst"))),
+        )
+        .where(F.col("hamming") <= cfg.simhash_hamming_max)
+        .join(sh.withColumnsRenamed({"file_id": "src", "shingle_set": "set_src"}), "src")
+        .join(sh.withColumnsRenamed({"file_id": "dst", "shingle_set": "set_dst"}), "dst")
+        .withColumn("n_common", F.size(F.array_intersect("set_src", "set_dst")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("set_src") + F.size("set_dst") - F.col("n_common")),
+        )
+        .withColumn("verified", F.col("jaccard") >= cfg.jaccard_threshold)
+        .select("src", "dst", "hamming", "jaccard", "verified")
+    )
+    if cfg.min_lcs > 0:
+        raise NotImplementedError(
+            "LCS gate applied separately via lcs_filter() on content pairs"
+        )
+    return e
+
+
+def _suffix_array(s: np.ndarray) -> np.ndarray:
+    """O(n log^2 n) prefix-doubling suffix array (numpy argsort based)."""
+    n = s.size
+    sa = np.argsort(s, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.cumsum(np.r_[0, np.diff(s[sa]) != 0])
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        new_rank = np.empty(n, dtype=np.int64)
+        r_o = rank[order]
+        k_o = key2[order]
+        changed = np.r_[0, ((np.diff(r_o) != 0) | (np.diff(k_o) != 0)).astype(np.int64)]
+        new_rank[order] = np.cumsum(changed)
+        rank = new_rank
+        if rank.max() == n - 1:
+            break
+        k <<= 1
+    sa = np.argsort(rank, kind="stable")
+    return sa
+
+
+def longest_common_substring(a: bytes, b: bytes) -> int:
+    """LCS length via suffix array + Kasai LCP over ``a#b`` (numpy)."""
+    if not a or not b:
+        return 0
+    na = len(a)
+    s = np.frombuffer(a, dtype=np.uint8).astype(np.int64)
+    t = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+    joined = np.r_[s, np.int64(-1), t]  # separator below byte range
+    sa = _suffix_array(joined)
+    n = joined.size
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    # Kasai LCP
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            while i + h < n and j + h < n and joined[i + h] == joined[j + h] \
+                    and joined[i + h] != -1:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    best = 0
+    side = sa < na  # True = suffix starts in a
+    for r in range(1, n):
+        if side[r] != side[r - 1]:
+            if lcp[r] > best:
+                best = int(lcp[r])
+    return best
+
+
+def lcs_filter(pairs_with_content: DataFrame, min_lcs: int) -> DataFrame:
+    """applyInPandas LCS gate over (src, dst, content_src, content_dst)."""
+    import pandas as pd
+
+    def check(it):
+        for pdf in it:
+            lcs = [
+                longest_common_substring((a or "").encode(), (b or "").encode())
+                for a, b in zip(pdf["content_src"], pdf["content_dst"])
+            ]
+            out = pdf[["src", "dst"]].copy()
+            out["lcs"] = pd.array(lcs, dtype="int64")
+            yield out[out["lcs"] >= min_lcs]
+
+    return pairs_with_content.mapInPandas(check, "src long, dst long, lcs long")

@@ -10,6 +10,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+def package_zip() -> str:
+    """Build (once per process) a zip of the dedup_spark package — the
+    artifact a production job ships via ``spark-submit --py-files``
+    (north_rule). Returned path is stable within a run."""
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(),
+                       f"dedup_spark_pkg_{os.getuid()}.zip")
+    if not os.path.exists(out):
+        tmp = out + f".{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(tmp, out)
+    return out
+
+
 def get_spark(app: str = "dedup_spark", cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cores is None:
@@ -31,4 +54,10 @@ def get_spark(app: str = "dedup_spark", cores: int | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Ship the package to executor Python workers regardless of driver cwd —
+    # the same thing `spark-submit --py-files dedup_spark.zip` does on a
+    # real cluster. Without this, mapInArrow UDFs fail to unpickle when the
+    # driver wasn't launched from the repo root.
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

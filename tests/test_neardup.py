@@ -1,0 +1,129 @@
+"""Near-dup pipeline tests: recall vs single-node oracle (north_rule gate),
+cluster agreement, skew guard, resume semantics."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DedupConfig
+from dedup_spark.oracle import run_oracle
+from dedup_spark.pipeline import run_pipeline
+from dedup_spark.synth import corpus_df
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return corpus_df(spark, 400, seed=7).cache()
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    return run_pipeline(corpus, CFG)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    rows = [(r["file_id"], r["content"]) for r in corpus.collect()]
+    return run_oracle(rows, CFG)
+
+
+def test_dup_pair_recall(result, oracle):
+    """north_rule: dup-pair recall >= 0.99 vs reference-semantics oracle."""
+    oracle_pairs, _ = oracle
+    got = {
+        (r["src"], r["dst"])
+        for r in result["edges"].where("verified").collect()
+    }
+    missed = oracle_pairs - got
+    recall = 1 - len(missed) / len(oracle_pairs) if oracle_pairs else 1.0
+    assert len(oracle_pairs) > 50, "oracle found too few dup pairs to gate on"
+    assert recall >= 0.99, f"recall {recall}: missed {sorted(missed)[:5]}"
+
+
+def test_verified_pairs_precision(result, oracle):
+    """Every verified edge must be a true >= threshold pair (the verify
+    stage computes EXACT Jaccard, so precision is 1.0 by construction)."""
+    oracle_pairs, _ = oracle
+    got = {
+        (r["src"], r["dst"])
+        for r in result["edges"].where("verified").collect()
+    }
+    assert got <= oracle_pairs
+
+
+def test_cluster_agreement(result, oracle):
+    """Connected components over the same edges → same partition of files."""
+    _, oracle_clusters = oracle
+    got = {
+        r["file_id"]: r["cluster_id"] for r in result["clusters"].collect()
+    }
+    assert set(got) == set(oracle_clusters)
+    # same partition ⇔ identical min-member labels when recall/precision hold
+    agree = sum(
+        1 for fid in got if got[fid] == oracle_clusters[fid]
+    )
+    assert agree / len(got) >= 0.99
+
+
+def test_ground_truth_sanity(corpus, result, oracle):
+    """Injected exact copies must cluster together."""
+    gt = {
+        r["file_id"]: r["cluster_gt"]
+        for r in corpus.select("file_id", "cluster_gt").collect()
+    }
+    sha = {
+        r["file_id"]: r["content_sha256"]
+        for r in corpus.select("file_id", "content_sha256").collect()
+    }
+    got = {r["file_id"]: r["cluster_id"] for r in result["clusters"].collect()}
+    by_sha = {}
+    for fid, h in sha.items():
+        by_sha.setdefault(h, []).append(fid)
+    for members in by_sha.values():
+        if len(members) > 1:
+            labels = {got[m] for m in members}
+            assert len(labels) == 1, f"exact copies split: {members}"
+
+
+def test_skew_guard_metrics(spark, corpus):
+    """Hot band buckets above the cap are dropped WITH metrics, and the
+    pipeline still returns (no silent failure on a pathological corpus)."""
+    from dedup_spark.operators.lsh import candidate_pairs
+    from dedup_spark.operators.signatures import compute_signatures
+
+    tiny = DedupConfig(max_bucket=4)
+    sigs = compute_signatures(corpus, tiny)
+    pairs, metrics = candidate_pairs(sigs, tiny, return_metrics=True)
+    m = metrics.collect()[0]
+    assert m["dropped_buckets"] > 0  # the giant injected cluster trips the cap
+    assert pairs.count() >= 0
+
+
+def test_resume_skips_stages(spark, corpus, tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("ckpt"))
+    r1 = run_pipeline(corpus.limit(60), CFG, workdir=workdir)
+    n1 = r1["clusters"].count()
+    # wreck nothing; rerun must read checkpoints (same result, no recompute)
+    r2 = run_pipeline(corpus.limit(60), CFG, workdir=workdir)
+    assert r2["clusters"].count() == n1
+    assert os.path.exists(os.path.join(workdir, "metrics.jsonl"))
+    stages = {s for s in os.listdir(workdir) if not s.endswith(".jsonl")}
+    assert {"signatures", "shingles", "candidates", "edges", "clusters"} <= stages
+
+
+def test_lcs_gate(spark):
+    """Suffix-array LCS filter: shared block found, unrelated pair rejected."""
+    from dedup_spark.operators.verify import lcs_filter, longest_common_substring
+
+    a = "A" * 50 + "SHARED-BLOCK-OF-TEXT" * 5 + "B" * 50
+    b = "C" * 70 + "SHARED-BLOCK-OF-TEXT" * 5 + "D" * 30
+    assert longest_common_substring(a.encode(), b.encode()) == 100
+    df = spark.createDataFrame(
+        [(1, 2, a, b), (3, 4, "xyz", "qrs")],
+        "src long, dst long, content_src string, content_dst string",
+    )
+    kept = lcs_filter(df, min_lcs=50).collect()
+    assert [(r["src"], r["dst"]) for r in kept] == [(1, 2)]
