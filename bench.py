@@ -1,0 +1,74 @@
+"""Per-round benchmark driver (SURVEY.md §6 / M7).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline: end-to-end near-dup pipeline (chunk → signatures → LSH →
+verify → connected components) over a deterministic synthetic source-code
+corpus (seed 42), plus the SQL-surface queries over the driver tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_FILES = int(os.environ.get("BENCH_N_FILES", "10000"))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.pipeline import run_pipeline
+    from dedup_spark.session import get_spark
+    from dedup_spark.synth import corpus_df
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    # --- headline: end-to-end near-dup pipeline on synthetic corpus ---
+    corpus = corpus_df(spark, N_FILES, seed=42, partitions=cpus * 2).cache()
+    n_corpus = corpus.count()  # materialize cache before timing
+    t0 = time.time()
+    res = run_pipeline(corpus, DedupConfig())
+    n_clusters = res["clusters"].select("cluster_id").distinct().count()
+    e2e = time.time() - t0
+    timings["neardup_pipeline"] = round(e2e, 3)
+
+    # --- SQL-surface queries over the driver tables ---
+    qs = entry_mod.queries()
+    for name, fn in qs.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    files_per_sec = round(n_corpus / e2e, 1)
+    out = {
+        "metric": "e2e_neardup_pipeline_sec",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_files": n_corpus,
+        "files_per_sec": files_per_sec,
+        "n_clusters": n_clusters,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

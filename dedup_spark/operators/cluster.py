@@ -45,14 +45,15 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         .withColumn("label", F.col("vertex"))
     ).persist()
 
+    prev_sum = None
     for _ in range(max_iter):
-        # min label among neighbors
+        # hash-min step: label[v] <- min(label[v], min label of neighbors)
         nbr_min = (
             sym.join(labels, sym["v"] == labels["vertex"])
             .groupBy(sym["u"].alias("vertex2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        l1 = (
             labels.join(nbr_min, labels["vertex"] == nbr_min["vertex2"], "left")
             .select(
                 "vertex",
@@ -61,17 +62,30 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "vertex")
-            .where(F.col("o.label") != F.col("n.label"))
-            .count()
+        # pointer-jump step: label[v] <- label[label[v]] (path halving) —
+        # turns O(diameter) convergence into ~O(log diameter) rounds;
+        # valid because label[u] <= u always, so the jump only shrinks.
+        tgt = l1.select(
+            F.col("vertex").alias("t_vertex"), F.col("label").alias("t_label")
         )
+        new_labels = (
+            l1.join(tgt, l1["label"] == tgt["t_vertex"], "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("label"), F.coalesce("t_label", F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        # convergence: labels only ever decrease, so the label sum is a
+        # strictly-monotone progress measure — equal sum ⇔ fixpoint.
+        # One tiny agg job instead of a join+count per round.
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels.select(
         F.col("vertex").alias("file_id"), F.col("label").alias("cluster_id")

@@ -65,26 +65,35 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     quadratic blow-up.
     """
     buckets = band_buckets(signatures, cfg)
-    sizes = bucket_stats(buckets)
-    ok = sizes.where(F.col("bucket_size") <= cfg.max_bucket)
-    kept = buckets.join(
-        ok.select("band_id", "band_hash"), ["band_id", "band_hash"]
+    # ONE shuffle: group each bucket, keep member list only when
+    # 2 <= size <= max_bucket, then explode all unordered pairs in-flight
+    # (posexplode + slice — no second shuffle, no src<dst self-join).
+    grouped = buckets.groupBy("band_id", "band_hash").agg(
+        F.collect_list("file_id").alias("members"),
+        F.count("*").alias("bucket_size"),
     )
-    left = kept.select(
-        "band_id", "band_hash", F.col("file_id").alias("src")
-    )
-    right = kept.select(
-        "band_id", "band_hash", F.col("file_id").alias("dst")
+    kept = grouped.where(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket)
     )
     pairs = (
-        left.join(right, ["band_id", "band_hash"])
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        kept.select(
+            F.posexplode("members").alias("i", "a"), F.col("members")
+        )
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("members"), F.col("i") + 2,
+                        F.size("members"))
+            ).alias("b"),
+        )
+        .select(
+            F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+        )
         .distinct()
     )
     if not return_metrics:
         return pairs
-    dropped = sizes.where(F.col("bucket_size") > cfg.max_bucket).agg(
+    dropped = grouped.where(F.col("bucket_size") > cfg.max_bucket).agg(
         F.count("*").alias("dropped_buckets"),
         F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("dropped_rows"),
         F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),

@@ -34,7 +34,7 @@ from ..config import MERSENNE31, DedupConfig, minhash_coeffs
 
 SIG_SCHEMA = (
     "file_id long, n_chunks int, n_shingles int, "
-    "minhash array<long>, simhash long"
+    "minhash array<long>, simhash long, shingles array<long>"
 )
 
 _EMPTY_MINHASH_SENTINEL = MERSENNE31  # > any real hash value
@@ -96,7 +96,7 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig,
         for batch in batches:
             ids = batch.column(0).to_pylist()
             contents = batch.column(1).to_pylist()
-            o_id, o_nc, o_ns, o_mh, o_sh = [], [], [], [], []
+            o_id, o_nc, o_ns, o_mh, o_sh, o_sg = [], [], [], [], [], []
             for fid, text in zip(ids, contents):
                 data = (text or "").encode("utf-8", "surrogatepass")
                 x, n_chunks = shingle_hashes(data, cfg)
@@ -106,6 +106,10 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig,
                 o_ns.append(int(x.size))
                 o_mh.append([int(v) for v in mh])
                 o_sh.append(sim)
+                # distinct shingles, signed view — the exact-Jaccard verify
+                # set; emitted here so the corpus is scanned ONCE
+                o_sg.append([int(v) for v in
+                             np.unique(x).astype(np.int64)])
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(o_id, pa.int64()),
@@ -113,8 +117,10 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig,
                     pa.array(o_ns, pa.int32()),
                     pa.array(o_mh, pa.list_(pa.int64())),
                     pa.array(o_sh, pa.int64()),
+                    pa.array(o_sg, pa.list_(pa.int64())),
                 ],
-                names=["file_id", "n_chunks", "n_shingles", "minhash", "simhash"],
+                names=["file_id", "n_chunks", "n_shingles", "minhash",
+                       "simhash", "shingles"],
             )
 
     return corpus.select(

@@ -90,7 +90,7 @@ def run_pipeline(
     from .operators.cluster import cluster_assignments
     from .operators.lsh import candidate_pairs
     from .operators.signatures import compute_signatures
-    from .operators.verify import shingle_sets, verify_pairs
+    from .operators.verify import verify_pairs
 
     cfg = cfg or DedupConfig()
     spark = corpus.sparkSession
@@ -105,13 +105,13 @@ def run_pipeline(
             return ckpt.write(name, df, t0)
         return df
 
+    # signatures carry the distinct shingle sets too — ONE corpus scan
+    # feeds both LSH banding and exact-Jaccard verification.
     signatures = stage(
         "signatures",
         lambda: compute_signatures(corpus, cfg, content_col, id_col),
     )
-    shingles = stage(
-        "shingles", lambda: shingle_sets(corpus, cfg, content_col, id_col)
-    )
+    shingles = signatures.select("file_id", "shingles")
     pairs = stage("candidates", lambda: candidate_pairs(signatures, cfg))
     edges = stage(
         "edges", lambda: verify_pairs(pairs, signatures, shingles, cfg)

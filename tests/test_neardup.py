@@ -111,7 +111,7 @@ def test_resume_skips_stages(spark, corpus, tmp_path_factory):
     assert r2["clusters"].count() == n1
     assert os.path.exists(os.path.join(workdir, "metrics.jsonl"))
     stages = {s for s in os.listdir(workdir) if not s.endswith(".jsonl")}
-    assert {"signatures", "shingles", "candidates", "edges", "clusters"} <= stages
+    assert {"signatures", "candidates", "edges", "clusters"} <= stages
 
 
 def test_lcs_gate(spark):
