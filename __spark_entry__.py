@@ -191,6 +191,435 @@ def q_zpaq_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# text-analysis queries (SURVEY.md driver extras; JVM-side expressions)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedup_spark.operators.textstats import with_token_count
+
+    return (
+        with_token_count(_docs(spark, sf_dir))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedup_spark.operators.textstats import with_quality_score
+
+    return with_quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "punct_ratio", "mean_token_len",
+        "stopword_ratio", "quality_score",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedup_spark.operators.textstats import with_lang_pred
+
+    return (
+        with_lang_pred(_docs(spark, sf_dir))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedup_spark.operators.textstats import doc_fingerprint
+
+    fp = doc_fingerprint(_docs(spark, sf_dir), k=8)
+    return fp.select(
+        "doc_id",
+        F.concat_ws(",", F.transform("fingerprint",
+                                     lambda v: v.cast("string"))).alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash / n-gram Jaccard with exact SQL twins
+# ---------------------------------------------------------------------------
+
+_K16 = 16
+_P31 = 2147483647
+
+
+def _coeffs16():
+    from dedup_spark.config import minhash_coeffs
+
+    return minhash_coeffs(_K16, 1315423911)
+
+
+def _tok_hash_spark(c):
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+_TOKENS_CTE = """
+WITH tokens AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(t.tok), 1, 8))::BIGINT AS h
+    FROM documents d,
+         unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS t(tok)
+    WHERE length(trim(d.text)) > 0
+)
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 MinHash (K=16 SQL-parity slice of the K=128 engine path):
+    identical (a*h+b) mod 2^31-1 arithmetic in Spark and DuckDB."""
+    a, b = _coeffs16()
+    d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim("text"), r"\s+"))
+        ).alias("tok"),
+    ).distinct()
+    h = _tok_hash_spark(F.col("tok"))
+    aggs = [
+        F.min((F.lit(a[i]) * h + F.lit(b[i])) % _P31).alias(f"mh{i}")
+        for i in range(_K16)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql() -> str:
+    a, b = _coeffs16()
+    mins = ",\n           ".join(
+        f"min(({a[i]} * h + {b[i]}) % {_P31}) AS mh{i}" for i in range(_K16)
+    )
+    return _TOKENS_CTE + f"""
+        SELECT doc_id,
+           {mins}
+        FROM tokens GROUP BY doc_id
+    """
+
+
+def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 LSH banding at document granularity (4 bands × r=4 over K=16):
+    candidate pairs sharing any band value."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = []
+    for band in range(4):
+        cols = [F.col(f"mh{band * 4 + j}").cast("string") for j in range(4)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band_id"),
+                F.md5(F.concat_ws("-", *cols)).alias("band_val"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionAll(x)
+    l = allb.select("band_id", "band_val", F.col("doc_id").alias("a"))
+    r = allb.select("band_id", "band_val", F.col("doc_id").alias("b"))
+    return (
+        l.join(r, ["band_id", "band_val"])
+        .where(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .distinct()
+        .orderBy("src", "dst")
+    )
+
+
+def _minhash_band_sql() -> str:
+    a, b = _coeffs16()
+    mins = ",\n           ".join(
+        f"min(({a[i]} * h + {b[i]}) % {_P31}) AS mh{i}" for i in range(_K16)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {band} AS band_id, md5({expr}) AS band_val FROM sig".format(
+            band=band,
+            expr=" || '-' || ".join(
+                f"CAST(mh{band * 4 + j} AS VARCHAR)" for j in range(4)
+            ),
+        )
+        for band in range(4)
+    )
+    return _TOKENS_CTE + f"""
+        , sig AS (
+            SELECT doc_id,
+           {mins}
+            FROM tokens GROUP BY doc_id
+        ), bands AS (
+        {band_rows}
+        )
+        SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+        FROM bands l JOIN bands r
+          ON l.band_id = r.band_id AND l.band_val = r.band_val
+        WHERE l.doc_id < r.doc_id
+        ORDER BY src, dst
+    """
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 SimHash (32-bit SQL-parity variant): per-bit ±1 votes over
+    distinct token hashes, bit set when votes > 0."""
+    d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok"),
+    ).distinct()
+    h = _tok_hash_spark(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(32)
+    ]
+    voted = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(32):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return voted.select("doc_id", sim.alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return _TOKENS_CTE + f"""
+        , voted AS (
+            SELECT doc_id,
+           {votes}
+            FROM tokens GROUP BY doc_id
+        )
+        SELECT doc_id, {bits} AS simhash FROM voted
+    """
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram exact Jaccard near-dup pairs (threshold 0.3)."""
+    d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim("text"), r"\s+")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+                )
+            )
+        ).alias("ng"),
+    ).where(F.col("ng") != "")
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        grams.alias("x")
+        .join(grams.alias("y"), "ng")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("src"), F.col("y.doc_id").alias("dst")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "src", "n": "n_src"}), "src")
+        .join(sizes.withColumnsRenamed({"doc_id": "dst", "n": "n_dst"}), "dst")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_src") + F.col("n_dst") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.3)
+        .select("src", "dst", "n_common", "jaccard")
+    )
+
+
+_NGRAM_SQL = """
+WITH grams AS (
+    SELECT DISTINCT doc_id, ng
+    FROM (
+        SELECT d.doc_id,
+               array_to_string(toks[i.i:i.i+2], ' ') AS ng
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents WHERE length(trim(text)) > 0
+        ) d,
+        (SELECT unnest(generate_series(1, 9999)) AS i) i
+        WHERE i.i <= greatest(len(d.toks) - 2, 0)
+    )
+    WHERE ng <> ''
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+    SELECT x.doc_id AS src, y.doc_id AS dst, count(*) AS n_common
+    FROM grams x JOIN grams y USING (ng)
+    WHERE x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT src, dst, n_common,
+       round(n_common / (sx.n + sy.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sx ON sx.doc_id = src
+JOIN sizes sy ON sy.doc_id = dst
+WHERE round(n_common / (sx.n + sy.n - n_common), 6) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+def q_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine neighbors (queries = vec_id < 10, cos >= 0.3);
+    big side streams, query side broadcast."""
+    from dedup_spark.operators.simsearch import cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 10")
+    return (
+        cosine_pairs(emb, q, min_cos=-1.0)
+        .withColumn("cosine", F.round("cosine", 4))
+        .where(F.col("cosine") >= 0.3)
+        .orderBy("q_id", "item_id")
+    )
+
+
+_EMB_SQL = """
+SELECT q.vec_id AS q_id,
+       x.vec_id AS item_id,
+       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                    x.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings q, embeddings x
+WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id
+  AND round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                   x.embedding::DOUBLE[]), 4) >= 0.3
+ORDER BY q_id, item_id
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline: exact top-5 per query (rows-only check: float rank
+    ties make cross-engine hashing brittle; neighbors query above is the
+    value-checked variant)."""
+    from dedup_spark.operators.simsearch import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, emb.where("vec_id < 10"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# relational analytics showcase (TPC-H-shaped; the general-engine surface)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2005-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("sum_qty", F.round("sum_qty", 2))
+        .withColumn("sum_base_price", F.round("sum_base_price", 2))
+        .withColumn("sum_disc_price", F.round("sum_disc_price", 2))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+         AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2005-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-k: revenue per customer (broadcast dim join)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+_TOP_CUST_SQL = """
+SELECT c_custkey, c_name,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+def q_user_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytics over the events stream table: per-user running
+    value + event rank (the A4-style running aggregate surface)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("event_rank"),
+            F.round(
+                F.sum("value").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                6,
+            ).alias("running_value"),
+        )
+        .where(F.col("event_rank") <= 3)
+        .orderBy("user_id", "event_rank")
+    )
+
+
+_EVENT_WINDOW_SQL = """
+SELECT user_id, event_id, event_rank, running_value FROM (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS event_rank,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS running_value
+    FROM events
+)
+WHERE event_rank <= 3
+ORDER BY user_id, event_rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -201,6 +630,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_mem": q_max_mem,
         "dup_docs_by_lang": q_dup_docs_by_lang,
         "zpaq_chunk_stats": q_zpaq_chunk_stats,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_band_candidates": q_minhash_band_candidates,
+        "simhash_docs": q_simhash_docs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_neighbors": q_embedding_neighbors,
+        "embedding_topk": q_embedding_topk,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "user_event_windows": q_user_event_windows,
     }
 
 
@@ -277,10 +719,132 @@ def oracle_sql() -> dict[str, str]:
         """,
         # zpaq_chunk_stats: intentionally omitted (non-SQL-expressible CDC
         # kernel; rows-only check; golden parity in tests/test_chunkers.py)
+        # embedding_topk: intentionally omitted (float rank ties brittle
+        # across engines; embedding_neighbors is the value-checked twin)
+        "token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END) AS BIGINT) AS total_tokens,
+                   round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END), 6) AS avg_tokens
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "quality_scores": """
+            WITH feat AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens,
+                       length(text) AS n_chars,
+                       length(text)
+                         - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                         AS punct,
+                       (len(regexp_split_to_array(' '||text||' ', ' the '))-1)
+                       + (len(regexp_split_to_array(' '||text||' ', ' and '))-1)
+                       + (len(regexp_split_to_array(' '||text||' ', ' of '))-1)
+                         AS stop
+                FROM documents
+            ), ratios AS (
+                SELECT doc_id, n_tokens,
+                       round(punct / greatest(n_chars, 1), 6) AS punct_ratio,
+                       round((n_chars - greatest(n_tokens - 1, 0))
+                             / greatest(n_tokens, 1), 6) AS mean_token_len,
+                       round(stop / greatest(n_tokens, 1), 6) AS stopword_ratio
+                FROM feat
+            )
+            SELECT doc_id, n_tokens, punct_ratio, mean_token_len,
+                   stopword_ratio,
+                   round(least(stopword_ratio * 2, 1.0) * 0.4
+                         + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+                         + least(n_tokens / 100.0, 1.0) * 0.3, 6)
+                     AS quality_score
+            FROM ratios
+        """,
+        "lang_id": """
+            WITH votes AS (
+                SELECT doc_id, lang,
+                  (len(regexp_split_to_array(' '||text||' ', ' the '))-1)
+                  +(len(regexp_split_to_array(' '||text||' ', ' and '))-1)
+                  +(len(regexp_split_to_array(' '||text||' ', ' of '))-1) AS s_en,
+                  (len(regexp_split_to_array(' '||text||' ', ' der '))-1)
+                  +(len(regexp_split_to_array(' '||text||' ', ' und '))-1)
+                  +(len(regexp_split_to_array(' '||text||' ', ' die '))-1) AS s_de,
+                  (len(regexp_split_to_array(' '||text||' ', ' el '))-1)
+                  +(len(regexp_split_to_array(' '||text||' ', ' la '))-1)
+                  +(len(regexp_split_to_array(' '||text||' ', ' que '))-1) AS s_es,
+                  (len(regexp_split_to_array(' '||text||' ', ' le '))-1)
+                  +(len(regexp_split_to_array(' '||text||' ', ' la '))-1)
+                  +(len(regexp_split_to_array(' '||text||' ', ' et '))-1) AS s_fr,
+                  (len(regexp_split_to_array(' '||text||' ', ' 的 '))-1)
+                  +(len(regexp_split_to_array(' '||text||' ', ' 是 '))-1)
+                  +(len(regexp_split_to_array(' '||text||' ', ' 了 '))-1) AS s_zh
+                FROM documents
+            ), pred AS (
+                SELECT doc_id, lang,
+                       greatest(s_en, s_de, s_es, s_fr, s_zh) AS best,
+                       CASE
+                         WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'unknown'
+                         WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'de'
+                         WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+                         WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+                         WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+                         ELSE 'zh'
+                       END AS lang_pred
+                FROM votes
+            )
+            SELECT lang, lang_pred, count(*) AS n_docs
+            FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+        """,
+        "doc_fingerprints": """
+            WITH toks AS (
+                SELECT DISTINCT d.doc_id, t.tok
+                FROM documents d,
+                     unnest(regexp_split_to_array(trim(d.text), '\\s+')) t(tok)
+                WHERE length(trim(d.text)) > 0
+            ), h AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+                FROM toks
+            )
+            SELECT doc_id,
+                   array_to_string(list_sort(list(h))[1:8], ',') AS fp
+            FROM h GROUP BY doc_id
+        """,
+        "minhash_signatures": _minhash_sql(),
+        "minhash_band_candidates": _minhash_band_sql(),
+        "simhash_docs": _simhash_sql(),
+        "ngram_jaccard_pairs": _NGRAM_SQL,
+        "embedding_neighbors": _EMB_SQL,
+        "pricing_summary": _PRICING_SQL,
+        "top_customers": _TOP_CUST_SQL,
+        "user_event_windows": _EVENT_WINDOW_SQL,
     }
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: exact-dedup manifest stats by language on sf0.001."""
+    """Flagship: the full near-dup pipeline (CDC chunk → MinHash/SimHash →
+    LSH → exact-Jaccard verify → connected components) on the sf0.001
+    documents table; returns per-language cluster stats."""
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.pipeline import run_pipeline
+
     sf_dir = "/root/testdata/sf0.001"
-    return q_dup_docs_by_lang(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select(
+        F.col("doc_id").alias("file_id"), F.col("text").alias("content"), "lang"
+    )
+    res = run_pipeline(corpus, DedupConfig())
+    return (
+        res["clusters"]
+        .join(corpus.select("file_id", "lang"), "file_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum(
+                F.when(F.col("cluster_id") != F.col("file_id"), 1).otherwise(0)
+            ).cast("long").alias("n_nonrep_members"),
+        )
+        .orderBy("lang")
+    )

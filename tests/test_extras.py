@@ -1,0 +1,124 @@
+"""Tests for text-analysis, similarity-search, and multimodal operators."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox and the lazy dog", "en"),
+            (1, "der schnelle braune fuchs und die katze", "de"),
+            (2, "", "en"),
+            (3, "   ", "en"),
+            (4, "one-token", "en"),
+            (5, "el perro y la casa que canta", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_token_count(spark, docs):
+    from dedup_spark.operators.textstats import with_token_count
+
+    got = {r["doc_id"]: r["n_tokens"] for r in with_token_count(docs).collect()}
+    assert got == {0: 8, 1: 7, 2: 0, 3: 0, 4: 1, 5: 7}
+
+
+def test_quality_score_bounds(spark, docs):
+    from dedup_spark.operators.textstats import with_quality_score
+
+    for r in with_quality_score(docs).collect():
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+
+
+def test_lang_pred(spark, docs):
+    from dedup_spark.operators.textstats import with_lang_pred
+
+    got = {r["doc_id"]: r["lang_pred"] for r in with_lang_pred(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[5] == "es"
+    assert got[2] == "unknown"
+
+
+def test_doc_fingerprint(spark, docs):
+    from dedup_spark.operators.textstats import doc_fingerprint
+
+    rows = doc_fingerprint(docs, k=4).collect()
+    by_id = {r["doc_id"]: r["fingerprint"] for r in rows}
+    assert 2 not in by_id and 3 not in by_id  # blank docs excluded
+    assert by_id[0] == sorted(by_id[0])
+    assert len(by_id[4]) == 1
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(80):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i, [float(v) for v in base]))
+        # a near-duplicate vector for even ids
+        if i % 2 == 0:
+            rows.append(
+                (1000 + i, [float(v + rng.gauss(0, 0.01)) for v in base])
+            )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark, vectors):
+    from dedup_spark.operators.simsearch import cosine_topk
+
+    q = vectors.where("vec_id = 0")
+    top = cosine_topk(vectors, q, k=3).collect()
+    assert [r["rank"] for r in top] == [1, 2, 3]
+    assert top[0]["item_id"] == 1000  # the injected near-dup of vec 0
+    assert top[0]["cosine"] > 0.999
+
+
+def test_lsh_topk_recall(spark, vectors):
+    """Bucketed ANN finds the planted near-dup for most queries (near-dup
+    cosine ≈ 1 ⇒ same hyperplane bucket with high probability)."""
+    from dedup_spark.operators.simsearch import lsh_topk
+
+    q = vectors.where("vec_id < 20 and vec_id % 2 = 0")
+    got = lsh_topk(vectors, q, k=1, n_bits=8, dim=8).collect()
+    hits = sum(1 for r in got if r["item_id"] == 1000 + r["q_id"])
+    assert hits >= 8  # >= 80% of 10 queries
+
+
+def test_multimodal_plumbing(spark):
+    from dedup_spark.operators.multimodal import (
+        extract_features, frame_sample_plan, media_table,
+    )
+
+    src = spark.createDataFrame(
+        [(1, bytearray(b"imagebytes")), (2, bytearray(b"")), (3, None)],
+        "id long, payload binary",
+    )
+    media = media_table(src, "payload", "image", "id")
+    assert media.schema.simpleString().startswith(
+        "struct<media_id:bigint,kind:string,payload:binary"
+    )
+    feats = extract_features(media, n_dims=16).collect()
+    assert len(feats) == 3
+    for r in feats:
+        assert len(r["feature"]) == 16
+        norm = math.sqrt(sum(v * v for v in r["feature"]))
+        assert abs(norm - 1.0) < 1e-3
+    # determinism: same payload → same feature
+    f2 = extract_features(media, n_dims=16).collect()
+    assert [r["feature"] for r in feats] == [r["feature"] for r in f2]
+
+    vids = media.withColumn("kind", F.lit("video")).withColumn(
+        "n_frames", F.lit(25)
+    )
+    plan = frame_sample_plan(vids, every_n=10)
+    assert plan.where("media_id = 1").count() == 3  # frames 0, 10, 20
