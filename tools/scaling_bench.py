@@ -20,7 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
 import json, os, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "__REPO__")
 cores = int(sys.argv[1]); n_files = int(sys.argv[2])
 from dedup_spark.config import DedupConfig
 from dedup_spark.pipeline import run_pipeline
@@ -44,7 +44,8 @@ spark.stop()
 
 def run_once(cores: int, n_files: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), str(n_files)],
+        [sys.executable, "-c", CHILD.replace("__REPO__", REPO),
+         str(cores), str(n_files)],
         capture_output=True, text=True, timeout=900,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
