@@ -1,10 +1,13 @@
 """Stage 5: connected components — verified edges → cluster ids.
 
-Alternating large-star / small-star label propagation (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SOCC'14): converges in
-O(log n) rounds of pure join+aggregate, each round checkpointed to cut
-Catalyst lineage (SURVEY.md §4.3). No driver-side graph state — the only
-driver interaction is the convergence counter per round.
+Min-contraction connected components (the MapReduce CC family — Kiveris
+et al. SOCC'14): each round every vertex adopts the minimum id in its
+closed neighborhood as representative, the edge set is rewritten onto
+representatives, self-edges vanish, and the (much smaller) contracted
+graph iterates. Near-dup graphs are clique-heavy, so the edge set
+collapses after the first round and convergence is O(log n) rounds on
+pathological chains. All join+agg — no driver-side graph state; each
+round localCheckpoints to cut lineage (SURVEY.md §4.3).
 
 Cluster id = smallest file_id in the component (deterministic).
 """
@@ -26,68 +29,59 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25,
-                         checkpoint_dir: str | None = None) -> DataFrame:
-    """Return (file_id, cluster_id) for every vertex appearing in edges.
-
-    Implementation: iterate ``label[v] = min(label[v], min(label[neighbors]))``
-    until fixpoint. Each iteration is groupBy+join (two shuffles on vertex
-    id); local checkpointing truncates the plan each round.
-    """
-    spark = edges.sparkSession
-    e = _canon(edges)
-    # symmetric neighbor list
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.persist()
-    labels = (
-        sym.select(F.col("u").alias("vertex"))
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Return (file_id, cluster_id) for every vertex appearing in edges."""
+    e = _canon(edges).localCheckpoint(eager=True)
+    mapping = (
+        e.select(F.col("u").alias("vertex"))
+        .unionAll(e.select(F.col("v").alias("vertex")))
         .distinct()
         .withColumn("label", F.col("vertex"))
-    ).persist()
+        .localCheckpoint(eager=True)
+    )
 
-    prev_sum = None
     for _ in range(max_iter):
-        # hash-min step: label[v] <- min(label[v], min label of neighbors)
-        nbr_min = (
-            sym.join(labels, sym["v"] == labels["vertex"])
-            .groupBy(sym["u"].alias("vertex2"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        l1 = (
-            labels.join(nbr_min, labels["vertex"] == nbr_min["vertex2"], "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-        )
-        # pointer-jump step: label[v] <- label[label[v]] (path halving) —
-        # turns O(diameter) convergence into ~O(log diameter) rounds;
-        # valid because label[u] <= u always, so the jump only shrinks.
-        tgt = l1.select(
-            F.col("vertex").alias("t_vertex"), F.col("label").alias("t_label")
-        )
-        new_labels = (
-            l1.join(tgt, l1["label"] == tgt["t_vertex"], "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("label"), F.coalesce("t_label", F.col("label"))
-                ).alias("label"),
-            )
-        ).localCheckpoint(eager=True)
-        # convergence: labels only ever decrease, so the label sum is a
-        # strictly-monotone progress measure — equal sum ⇔ fixpoint.
-        # One tiny agg job instead of a join+count per round.
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
+        if e.isEmpty():
             break
-        prev_sum = new_sum
-    sym.unpersist()
-    return labels.select(
+        sym = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # representative = min of closed neighborhood
+        rep = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("rep"))
+        )
+        # compose into the vertex→label mapping (labels are current reps;
+        # isolated roots keep their label via the left join)
+        mapping = (
+            mapping.join(
+                rep.withColumnsRenamed({"u": "label", "rep": "new_label"}),
+                "label",
+                "left",
+            )
+            .select(
+                "vertex",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # contract edges onto representatives; self-edges vanish
+        ru = rep.withColumnsRenamed({"u": "u", "rep": "ru"})
+        rv = rep.withColumnsRenamed({"u": "v", "rep": "rv"})
+        e = (
+            e.join(ru, "u")
+            .join(rv, "v")
+            .select(
+                F.least("ru", "rv").alias("u"),
+                F.greatest("ru", "rv").alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return mapping.select(
         F.col("vertex").alias("file_id"), F.col("label").alias("cluster_id")
     )
 
