@@ -72,9 +72,10 @@ def fixed_chunks(data: bytes, max_size: int) -> list[tuple[int, int]]:
     return out
 
 
-def zpaq_chunks_py(data: bytes, max_size: int) -> list[tuple[int, int]]:
-    """ZPAQ CDC boundaries, pure-Python reference kernel (writer.go:714-749)."""
-    _check_max_size(max_size)
+def _scan_zpaq(data: bytes, max_size: int):
+    """Core zpaq scan → (bounds, trailing_off). trailing_off > 0 means the
+    final chunk is a Close-flush (writer.go:391-406 EOS remainder), not a
+    boundary emit."""
     min_f = max_size // 64
     max_f = max_size
     max_hash = _max_hash(max_size)
@@ -101,17 +102,23 @@ def zpaq_chunks_py(data: bytes, max_size: int) -> list[tuple[int, int]]:
             c1 = 0
     if off:
         append((start, off))
-    return out
+    return out, off
 
 
-def entropy_chunks_py(data: bytes, max_size: int) -> list[tuple[int, int]]:
-    """Entropy CDC boundaries, pure-Python kernel (writer.go:813-890).
+def zpaq_chunks_py(data: bytes, max_size: int) -> list[tuple[int, int]]:
+    """ZPAQ CDC boundaries, pure-Python reference kernel (writer.go:714-749)."""
+    _check_max_size(max_size)
+    return _scan_zpaq(data, max_size)[0]
+
+
+def _scan_entropy(data: bytes, max_size: int):
+    """Entropy CDC scan → (bounds, trailing_off); pure-Python kernel
+    (writer.go:813-890).
 
     Models exactly one Write(data) + Close per stream: the phase-(a)
     histogram fill runs once at the top; post-emit blocks inside the same
     call hash against the zeroed histogram (the reference quirk).
     """
-    _check_max_size(max_size)
     min_f = max_size // 32
     if min_f > 65535:
         min_f = 65535
@@ -149,7 +156,28 @@ def entropy_chunks_py(data: bytes, max_size: int) -> list[tuple[int, int]]:
             h = 0
     if off:
         append((start, off))
-    return out
+    return out, off
+
+
+def entropy_chunks_py(data: bytes, max_size: int) -> list[tuple[int, int]]:
+    """Entropy CDC boundaries, pure-Python kernel (writer.go:813-890)."""
+    _check_max_size(max_size)
+    return _scan_entropy(data, max_size)[0]
+
+
+def chunks_with_flush(data: bytes, mode, max_size: int):
+    """(bounds, trailing_flush). trailing_flush=True means the final chunk
+    is the Close()-time remainder (EOS-carried in the wire formats), not a
+    boundary-emitted block. Uses the pure-Python kernels (exporter path)."""
+    _check_max_size(max_size)
+    if isinstance(mode, str):
+        mode = _MODES[mode]
+    if mode == MODE_FIXED:
+        bounds = fixed_chunks(data, max_size)
+        return bounds, len(data) % max_size != 0
+    scan = _scan_zpaq if mode == MODE_DYNAMIC else _scan_entropy
+    bounds, trailing = scan(data, max_size)
+    return bounds, trailing > 0
 
 
 # ---------------------------------------------------------------------------

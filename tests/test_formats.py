@@ -1,0 +1,93 @@
+"""Wire-format codec golden + round-trip tests (FORMAT.md; FIXTURES.md §2).
+
+Golden anchors from the reference examples:
+- writer_test.go:747-778: 50,000 zeros, fixed @1000 → index 67 B, data 1,000 B
+- writer_test.go:781-809: same via stream writer (maxMemory 10) → 1,068 B
+"""
+
+import zipfile
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dedup_spark.formats import (
+    decode_format1, decode_format2, encode_format1, encode_format2,
+    read_uvarint, write_uvarint,
+)
+
+
+def test_uvarint_roundtrip():
+    import io
+
+    for v in [0, 1, 127, 128, 300, 2 ** 32, 2 ** 64 - 1]:
+        b = io.BytesIO()
+        write_uvarint(b, v)
+        b.seek(0)
+        assert read_uvarint(b) == v
+    # MaxUint64 encodes to 10 bytes like Go's PutUvarint
+    b = io.BytesIO()
+    write_uvarint(b, 2 ** 64 - 1)
+    assert len(b.getvalue()) == 10
+
+
+def test_format1_zero_golden():
+    idx, dat = encode_format1(bytes(50_000), mode="fixed", max_size=1000)
+    assert len(idx) == 67  # writer_test.go:775 "Index size: 67"
+    assert len(dat) == 1000  # "Data size: 1000"
+    assert decode_format1(idx, dat) == bytes(50_000)
+
+
+def test_format2_zero_golden():
+    s = encode_format2(bytes(50_000), mode="fixed", max_size=1000, max_blocks=10)
+    assert len(s) == 1068  # writer_test.go:806 "Stream size: 1068"
+    assert decode_format2(s) == bytes(50_000)
+
+
+@pytest.mark.parametrize("mode", ["fixed", "dynamic", "entropy"])
+def test_roundtrip_sampledata(mode):
+    with open("/root/reference/testdata/sampledata.zip", "rb") as f:
+        data = f.read()
+    idx, dat = encode_format1(data, mode=mode, max_size=4096)
+    assert decode_format1(idx, dat) == data
+    s = encode_format2(data, mode=mode, max_size=4096, max_blocks=100)
+    assert decode_format2(s) == data
+
+
+def test_format2_bounded_backref():
+    """Blocks farther than max_blocks are re-emitted as new (J3)."""
+    block = bytes(range(200)) * 5  # 1000 B
+    data = block + bytes(1000) + bytes(1000) + block
+    tight = encode_format2(data, mode="fixed", max_size=1000, max_blocks=1)
+    loose = encode_format2(data, mode="fixed", max_size=1000, max_blocks=10)
+    assert len(tight) > len(loose)  # the far dup cost a full payload
+    assert decode_format2(tight) == data
+    assert decode_format2(loose) == data
+
+
+def test_dedup_ratio_reference_shape():
+    """Reference-shaped bounded assertion (writer_test.go:54-66): 10 MiB
+    with 50 injected dup blocks @64K → 50-60 blocks removed."""
+    import random
+
+    rng = random.Random(0)
+    size, block = 10 << 20, 65536
+    b = bytearray(rng.randrange(255) for _ in range(size))
+    for i in range(50):
+        b[(10 + i) * block:(11 + i) * block] = b[(i % 10) * block:(i % 10 + 1) * block]
+    idx, dat = encode_format1(bytes(b), mode="fixed", max_size=block)
+    removed = (size - len(dat)) // block
+    assert 50 <= removed <= 60
+    assert decode_format1(idx, dat) == bytes(b)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=8192),
+    mode=st.sampled_from(["fixed", "dynamic", "entropy"]),
+)
+def test_roundtrip_property(data, mode):
+    idx, dat = encode_format1(data, mode=mode, max_size=512)
+    assert decode_format1(idx, dat) == data
+    s = encode_format2(data, mode=mode, max_size=512, max_blocks=4)
+    assert decode_format2(s) == data
