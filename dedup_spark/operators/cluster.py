@@ -29,9 +29,28 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Return (file_id, cluster_id) for every vertex appearing in edges."""
-    e = _canon(edges).localCheckpoint(eager=True)
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         n_partitions: int | None = None) -> DataFrame:
+    """Return (file_id, cluster_id) for every vertex appearing in edges.
+
+    ``n_partitions`` sizes the per-round shuffles. The contracted graph
+    shrinks drastically after round one, so a small fixed width avoids
+    paying hundreds of near-empty tasks per round; at true cluster scale
+    pass something proportional to the edge count.
+    """
+    spark = edges.sparkSession
+    if n_partitions is None:
+        n_partitions = max(8, spark.sparkContext.defaultParallelism // 4)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    try:
+        return _cc_loop(edges, max_iter, n_partitions)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
+    e = _canon(edges).repartition(n_partitions).localCheckpoint(eager=True)
     mapping = (
         e.select(F.col("u").alias("vertex"))
         .unionAll(e.select(F.col("v").alias("vertex")))

@@ -103,7 +103,9 @@ def run_pipeline(
         df = build()
         if workdir:
             return ckpt.write(name, df, t0)
-        return df
+        # no checkpoint dir: persist multi-consumer stages so the
+        # chunk+signature scan runs once, not once per downstream action
+        return df.persist()
 
     # signatures carry the distinct shingle sets too — ONE corpus scan
     # feeds both LSH banding and exact-Jaccard verification.

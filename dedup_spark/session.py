@@ -33,6 +33,19 @@ def package_zip() -> str:
     return out
 
 
+def _local_dir() -> str:
+    """Shuffle/spill scratch space. Measured in this environment: shuffle
+    files on the VM's ext4 root serialize >8 concurrent writers (2x
+    anti-scaling at local[32]); tmpfs removes the bottleneck. On a real
+    cluster this maps to fast local SSDs per executor."""
+    shm = "/dev/shm/spark_local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return os.environ.get("SPARK_LOCAL_DIRS", "/tmp")
+
+
 def get_spark(app: str = "dedup_spark", cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cores is None:
@@ -49,8 +62,24 @@ def get_spark(app: str = "dedup_spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Bound Arrow batches by BYTES: the 64 MB default lets wide string
+        # rows form ~26 MB batches whose allocation burns CPU quadratically
+        # in the number of concurrent Python streams (measured: identity
+        # mapInArrow over 1 GB at local[32] drops 4.8s/70cpu-s -> 1.2s/23
+        # with small batches).
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(2 << 20))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Throughput collector: measured 2.4x less GC CPU than default G1 on
+        # allocation-heavy stages (string explode/groupBy) at local[32] in
+        # this environment; same flag goes to executors on a real cluster.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.local.dir", _local_dir())
+        # one BLAS/OMP thread per Python worker: N workers x N BLAS threads
+        # oversubscribes quadratically on wide executors
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
