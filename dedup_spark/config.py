@@ -33,6 +33,15 @@ class DedupConfig:
     salt: int = 8                  # salt factor for hot band keys
 
     # verification
+    max_shingles: int = 1024       # bottom-k sketch of the distinct-shingle
+                                   # set used for exact-Jaccard verify; k
+                                   # smallest hashes (deterministic, equal to
+                                   # the full set for files under k shingles;
+                                   # the oracle applies the identical rule).
+                                   # Bounds the per-pair verify payload at
+                                   # scale: without it a 1 MB file ships
+                                   # ~30 KB of shingles to EVERY candidate
+                                   # pair it appears in.
     jaccard_threshold: float = 0.5
     simhash_hamming_max: int = 64  # prefilter on 64-bit simhash; 64 = off.
                                    # On small shingle sets simhash variance is

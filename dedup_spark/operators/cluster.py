@@ -49,8 +49,64 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+DRIVER_FINALIZE_EDGES = 500_000  # collect threshold: ~8 MB of (u,v) longs
+
+
+def _finalize_on_driver(e: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Small-remainder finalize: union-find the contracted graph on the
+    driver (a few MB at most — the distributed rounds only stop when the
+    edge count is under DRIVER_FINALIZE_EDGES) and apply the root map to
+    the vertex mapping with one broadcast join. Saves 2-3 full join
+    rounds of barrier latency; at real scale the distributed contraction
+    keeps running until the remainder fits."""
+    from ..oracle import UnionFind
+
+    spark = e.sparkSession
+    uf = UnionFind()
+    for u, v in e.select("u", "v").collect():
+        uf.union(u, v)
+    roots: dict[int, int] = {}
+    comp: dict[int, int] = {}
+    for x in list(uf.parent):
+        r = uf.find(x)
+        comp.setdefault(r, r)
+        comp[r] = min(comp[r], x)
+    for x in list(uf.parent):
+        roots[x] = comp[uf.find(x)]
+    if not roots:
+        return mapping
+    from pyspark.sql import functions as F2
+
+    rmap = spark.createDataFrame(
+        list(roots.items()), "label long, final_label long"
+    )
+    return mapping.join(F2.broadcast(rmap), "label", "left").select(
+        "vertex",
+        F2.coalesce("final_label", F2.col("label")).alias("label"),
+    )
+
+
 def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
-    e = _canon(edges).repartition(n_partitions).localCheckpoint(eager=True)
+    canon = _canon(edges)
+    # Fast path: small graphs skip the distributed rounds entirely — one
+    # collect, union-find on the driver, one broadcast join back.
+    first_count = canon.persist().count()
+    if first_count <= DRIVER_FINALIZE_EDGES:
+        from ..oracle import UnionFind, oracle_clusters
+
+        uf = UnionFind()
+        pairs = canon.collect()
+        canon.unpersist()
+        for u, v in pairs:
+            uf.union(u, v)
+        assign = oracle_clusters(list(uf.parent), pairs)
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            list(assign.items()), "file_id long, cluster_id long"
+        )
+
+    e = canon.repartition(n_partitions).localCheckpoint(eager=True)
+    canon.unpersist()
     mapping = (
         e.select(F.col("u").alias("vertex"))
         .unionAll(e.select(F.col("v").alias("vertex")))
@@ -60,7 +116,11 @@ def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
     )
 
     for _ in range(max_iter):
-        if e.isEmpty():
+        n_edges = e.count()
+        if n_edges == 0:
+            break
+        if n_edges <= DRIVER_FINALIZE_EDGES:
+            mapping = _finalize_on_driver(e, mapping)
             break
         sym = e.unionAll(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))

@@ -106,10 +106,12 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig,
                 o_ns.append(int(x.size))
                 o_mh.append([int(v) for v in mh])
                 o_sh.append(sim)
-                # distinct shingles, signed view — the exact-Jaccard verify
-                # set; emitted here so the corpus is scanned ONCE
-                o_sg.append([int(v) for v in
-                             np.unique(x).astype(np.int64)])
+                # bottom-k sketch of the distinct shingles (np.unique is
+                # sorted, so the first k ARE the k smallest) — the exact-
+                # Jaccard verify set; emitted here so the corpus is
+                # scanned ONCE
+                u = np.unique(x)[:cfg.max_shingles]
+                o_sg.append([int(v) for v in u.astype(np.int64)])
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(o_id, pa.int64()),

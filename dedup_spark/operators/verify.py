@@ -41,9 +41,9 @@ def shingle_sets(corpus: DataFrame, cfg: DedupConfig,
             for fid, text in zip(ids, contents):
                 data = (text or "").encode("utf-8", "surrogatepass")
                 x, _ = shingle_hashes(data, cfg)
-                # signed view for Spark long
+                u = np.unique(x)[:cfg.max_shingles]  # bottom-k sketch
                 o_id.append(fid)
-                o_sh.append([int(v) for v in x.astype(np.int64)])
+                o_sh.append([int(v) for v in u.astype(np.int64)])
             yield pa.RecordBatch.from_arrays(
                 [pa.array(o_id, pa.int64()),
                  pa.array(o_sh, pa.list_(pa.int64()))],

@@ -24,7 +24,9 @@ def oracle_shingles(rows, cfg: DedupConfig):
     for fid, content in rows:
         data = (content or "").encode("utf-8", "surrogatepass")
         x, _ = shingle_hashes(data, cfg)
-        out[fid] = frozenset(int(v) for v in x)
+        # same bottom-k sketch rule as the distributed signatures stage
+        distinct = sorted({int(v) for v in x})[:cfg.max_shingles]
+        out[fid] = frozenset(distinct)
     return out
 
 
