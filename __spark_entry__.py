@@ -620,6 +620,166 @@ ORDER BY user_id, event_rank
 """
 
 
+def q_mem_use(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 MemUse (writer.go:655-679): encoder index bytes = unique_blocks x
+    (HashSize 20 + 8 + 24 map entry); decoder = blocks x max_size."""
+    m = _chunk_manifest(spark, sf_dir)
+    return m.agg(
+        (F.sum(F.when(F.col("is_new"), 1).otherwise(0)) * (20 + 8 + 24))
+        .cast("long").alias("encoder_bytes"),
+        (F.count("*") * CHUNK).cast("long").alias("decoder_bytes"),
+    )
+
+
+def q_block_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 BlockSizes (reader.go:351-361): per-doc ordered chunk lengths."""
+    m = _chunk_manifest(spark, sf_dir)
+    return m.groupBy("doc_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "length"))),
+                lambda s: s["length"].cast("string"),
+            ),
+        ).alias("sizes")
+    )
+
+
+def q_backref_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3: backref-distance distribution over the chunk manifest, and
+    how many dups a format-2 bounded window (max_backref=8) would drop."""
+    m = _chunk_manifest(spark, sf_dir)
+    m = m.withColumn(
+        "gseq", F.col("doc_id").cast("long") * (1 << 20) + F.col("seq")
+    )
+    w = Window.partitionBy("hash").orderBy("gseq")
+    d = (
+        m.withColumn("backref", F.col("gseq") - F.lag("gseq").over(w))
+        .where(F.col("backref").isNotNull())
+    )
+    return d.agg(
+        F.count("*").alias("n_dups"),
+        F.min("backref").alias("min_backref"),
+        F.max("backref").alias("max_backref"),
+        F.sum(F.when(F.col("backref") > 8, 1).otherwise(0)).cast("long")
+        .alias("dropped_by_window8"),
+    )
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (streaming analytics surface): 30-minute-gap sessions
+    per user via lag + running count; top session stats per user."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.max("session_value"), 6).alias("max_session_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_doc_stats_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: doc counts + chars by cube(lang, source)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_MEM_USE_SQL = _CHUNKS_CTE + f"""
+    SELECT CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) * 52 AS BIGINT)
+             AS encoder_bytes,
+           CAST(count(*) * {CHUNK} AS BIGINT) AS decoder_bytes
+    FROM manifest
+"""
+
+_BLOCK_SIZES_SQL = _CHUNKS_CTE + """
+    SELECT doc_id,
+           array_to_string(list(CAST(length AS VARCHAR) ORDER BY seq), ',')
+             AS sizes
+    FROM manifest GROUP BY doc_id
+"""
+
+_BACKREF_SQL = _CHUNKS_CTE + """
+    , d AS (
+        SELECT (doc_id * (1 << 20) + seq)
+               - lag(doc_id * (1 << 20) + seq)
+                 OVER (PARTITION BY hash ORDER BY doc_id * (1 << 20) + seq)
+               AS backref
+        FROM manifest
+    )
+    SELECT count(*) AS n_dups,
+           min(backref) AS min_backref,
+           max(backref) AS max_backref,
+           CAST(sum(CASE WHEN backref > 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_by_window8
+    FROM d WHERE backref IS NOT NULL
+"""
+
+_SESSIONS_SQL = """
+WITH marked AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM marked
+), per_sess AS (
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(CAST(sum(value) AS DOUBLE), 6) AS session_value
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_events) AS max_session_events,
+       round(max(session_value), 6) AS max_session_value
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+_CUBE_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+ORDER BY lang, source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -643,6 +803,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "user_event_windows": q_user_event_windows,
+        "mem_use": q_mem_use,
+        "block_sizes": q_block_sizes,
+        "backref_stats": q_backref_stats,
+        "event_sessions": q_event_sessions,
+        "doc_stats_cube": q_doc_stats_cube,
     }
 
 
@@ -819,6 +984,11 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _PRICING_SQL,
         "top_customers": _TOP_CUST_SQL,
         "user_event_windows": _EVENT_WINDOW_SQL,
+        "mem_use": _MEM_USE_SQL,
+        "block_sizes": _BLOCK_SIZES_SQL,
+        "backref_stats": _BACKREF_SQL,
+        "event_sessions": _SESSIONS_SQL,
+        "doc_stats_cube": _CUBE_SQL,
     }
 
 

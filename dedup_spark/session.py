@@ -69,6 +69,14 @@ def get_spark(app: str = "dedup_spark", cores: int | None = None,
         # mapInArrow over 1 GB at local[32] drops 4.8s/70cpu-s -> 1.2s/23
         # with small batches).
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(2 << 20))
+        # Split files for DECOMPRESSED work: source text compresses ~10-15x,
+        # so the 128 MB default bin-packs a "5 GB" corpus into ~11 splits and
+        # starves every core past the second (measured: the whole end-to-end
+        # anti-scaling mystery of round 1). 8 MB compressed ≈ 100+ MB of
+        # chunker work per task; measured optimum is ~2-4 splits per core
+        # (per-task Arrow stream setup costs ~60ms, so thousands of tiny
+        # splits lose to wave-balanced medium ones).
+        .config("spark.sql.files.maxPartitionBytes", str(16 << 20))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # Throughput collector: measured 2.4x less GC CPU than default G1 on
         # allocation-heavy stages (string explode/groupBy) at local[32] in

@@ -59,6 +59,7 @@ spark = (SparkSession.builder.appName("scale").master(f"local[{cores}]")
      .config("spark.local.dir", _local_dir())
      .config("spark.sql.execution.arrow.maxBytesPerBatch", str(2 << 20))
      .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+     .config("spark.sql.files.maxPartitionBytes", str(16 << 20))
      .config("spark.sql.adaptive.enabled", "false")
      .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
