@@ -104,8 +104,14 @@ def run_pipeline(
         if workdir:
             return ckpt.write(name, df, t0)
         # no checkpoint dir: persist multi-consumer stages so the
-        # chunk+signature scan runs once, not once per downstream action
-        return df.persist()
+        # chunk+signature scan runs once, not once per downstream action.
+        # DISK_ONLY: deserialized in-heap caching of the array-heavy
+        # signature rows caused measurable GC thrash (24s GC in one
+        # downstream stage at 5 GB); the local dir is tmpfs so "disk"
+        # reads are page-cache speed.
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
 
     # signatures carry the distinct shingle sets too — ONE corpus scan
     # feeds both LSH banding and exact-Jaccard verification.
