@@ -71,8 +71,12 @@ def unique_chunks(manifest: DataFrame, corpus: DataFrame,
         firsts.join(corpus.select("file_id", content_col), "file_id")
         .select(
             "hash",
+            # chunk offsets are BYTE offsets into the UTF-8 encoding, so the
+            # slice must be byte-wise: substring over BINARY (char-based
+            # substring corrupts payloads on multibyte content)
             F.expr(
-                f"substring({content_col}, cast(offset + 1 as int), length)"
+                f"substring(cast({content_col} as binary),"
+                " cast(offset + 1 as int), length)"
             ).alias("payload"),
         )
     )

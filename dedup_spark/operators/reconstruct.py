@@ -25,13 +25,17 @@ def reconstruct(manifest: DataFrame, unique: DataFrame) -> DataFrame:
         .join(unique, "hash")
         .groupBy("file_id")
         .agg(
-            F.array_join(
+            # payloads are byte slices (a chunk boundary may split a
+            # multibyte character), so reassembly concatenates BINARY and
+            # decodes to string once at the end
+            F.aggregate(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("seq", "payload"))),
                     lambda s: s["payload"],
                 ),
-                "",
-            ).alias("content")
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x),
+            ).cast("string").alias("content")
         )
     )
 

@@ -90,6 +90,28 @@ def test_fixed_relational_matches_udf(spark, corpus200):
     assert udf.exceptAll(rel).count() == 0
 
 
+def test_unicode_roundtrip(spark):
+    """Chunk offsets are byte offsets into UTF-8; payload slicing and
+    reassembly must be byte-wise. Regression: char-based substring
+    corrupted multibyte content (incl. chunk boundaries splitting a
+    multibyte character mid-sequence)."""
+    rows = [
+        (0, "héllo wörld ünïcode " * 100),
+        (1, "日本語のテキスト" * 200),
+        (2, "plain ascii " * 100),
+        (3, ""),
+        (4, "🎉emoji🎊" * 300),
+    ]
+    df = spark.createDataFrame(rows, "file_id long, content string").withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    for mode in ("fixed", "dynamic", "entropy"):
+        chunks = chunk_and_hash(df, mode=mode, max_size=1024)
+        man = build_manifest(chunks)
+        uniq = unique_chunks(man, df)
+        assert verify_roundtrip(df, man, uniq).count() == 0, mode
+
+
 def test_fixed_relational_offsets_are_chars(spark):
     """Relational path slices characters; ASCII corpus keeps it equal to
     byte offsets. Guard: multibyte content must go through the UDF path."""
