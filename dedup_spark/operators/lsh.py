@@ -65,16 +65,25 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     quadratic blow-up.
     """
     buckets = band_buckets(signatures, cfg)
-    # ONE shuffle: group each bucket, keep member list only when
-    # 2 <= size <= max_bucket, then explode all unordered pairs in-flight
-    # (posexplode + slice — no second shuffle, no src<dst self-join).
-    grouped = buckets.groupBy("band_id", "band_hash").agg(
-        F.collect_list("file_id").alias("members"),
-        F.count("*").alias("bucket_size"),
+    # Skew-safe order of operations: bucket SIZES first (count is a
+    # map-side partial aggregate — a power-law hot band never materializes
+    # anywhere), filter oversize buckets out, and only then collect member
+    # lists. Collecting first would OOM a single task on a boilerplate
+    # mega-bucket at corpus scale.
+    sizes = buckets.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_size")
     )
-    kept = grouped.where(
+    kept_keys = sizes.where(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket)
     )
+    kept = (
+        buckets.join(kept_keys, ["band_id", "band_hash"])
+        .groupBy("band_id", "band_hash")
+        .agg(F.collect_list("file_id").alias("members"))
+    )
+    # then explode all unordered pairs in-flight (posexplode + slice — no
+    # src<dst self-join); bucket size is capped so the per-row explosion
+    # is bounded by max_bucket^2/2
     pairs = (
         kept.select(
             F.posexplode("members").alias("i", "a"), F.col("members")
@@ -93,7 +102,7 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     )
     if not return_metrics:
         return pairs
-    dropped = grouped.where(F.col("bucket_size") > cfg.max_bucket).agg(
+    dropped = sizes.where(F.col("bucket_size") > cfg.max_bucket).agg(
         F.count("*").alias("dropped_buckets"),
         F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("dropped_rows"),
         F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
