@@ -61,21 +61,34 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
 
     Returns (src, dst, hamming, jaccard, verified).
     """
-    sig = signatures.select("file_id", "simhash")
-    sh = shingles.select(
-        "file_id", F.array_distinct("shingles").alias("shingle_set")
-    )
+    # one join per pair side: simhash and the shingle set ride together —
+    # they come from the same signature row, and two separate joins per
+    # side would double the exchanges for no benefit.
+    if "shingles" in signatures.columns:
+        side = signatures.select(
+            "file_id", "simhash",
+            F.array_distinct("shingles").alias("shingle_set"),
+        )
+    else:
+        side = signatures.select("file_id", "simhash").join(
+            shingles.select(
+                "file_id", F.array_distinct("shingles").alias("shingle_set")
+            ),
+            "file_id",
+        )
     e = (
         pairs
-        .join(sig.withColumnsRenamed({"file_id": "src", "simhash": "simhash_src"}), "src")
-        .join(sig.withColumnsRenamed({"file_id": "dst", "simhash": "simhash_dst"}), "dst")
+        .join(side.withColumnsRenamed({
+            "file_id": "src", "simhash": "simhash_src", "shingle_set": "set_src",
+        }), "src")
+        .join(side.withColumnsRenamed({
+            "file_id": "dst", "simhash": "simhash_dst", "shingle_set": "set_dst",
+        }), "dst")
         .withColumn(
             "hamming",
             F.bit_count(F.col("simhash_src").bitwiseXOR(F.col("simhash_dst"))),
         )
         .where(F.col("hamming") <= cfg.simhash_hamming_max)
-        .join(sh.withColumnsRenamed({"file_id": "src", "shingle_set": "set_src"}), "src")
-        .join(sh.withColumnsRenamed({"file_id": "dst", "shingle_set": "set_dst"}), "dst")
         .withColumn("n_common", F.size(F.array_intersect("set_src", "set_dst")))
         .withColumn(
             "jaccard",
