@@ -98,11 +98,36 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
         .withColumn("verified", F.col("jaccard") >= cfg.jaccard_threshold)
         .select("src", "dst", "hamming", "jaccard", "verified")
     )
-    if cfg.min_lcs > 0:
-        raise NotImplementedError(
-            "LCS gate applied separately via lcs_filter() on content pairs"
-        )
     return e
+
+
+def apply_lcs_gate(edges: DataFrame, corpus: DataFrame, cfg: DedupConfig,
+                   content_col: str = "content",
+                   id_col: str = "file_id") -> DataFrame:
+    """Optional byte-level confirmation (north_star's suffix-array LCS
+    filter): demote verified edges whose longest common substring is
+    shorter than ``cfg.min_lcs``. Only verified pairs pay the content
+    join + O((|a|+|b|) log) suffix-array cost."""
+    if cfg.min_lcs <= 0:
+        return edges
+    c = corpus.select(F.col(id_col).alias("fid"), F.col(content_col).alias("c"))
+    cand = (
+        edges.where("verified")
+        .join(c.withColumnsRenamed({"fid": "src", "c": "content_src"}), "src")
+        .join(c.withColumnsRenamed({"fid": "dst", "c": "content_dst"}), "dst")
+        .select("src", "dst", "content_src", "content_dst")
+    )
+    passed = lcs_filter(cand, cfg.min_lcs).select("src", "dst").withColumn(
+        "lcs_ok", F.lit(True)
+    )
+    return (
+        edges.join(passed, ["src", "dst"], "left")
+        .withColumn(
+            "verified",
+            F.col("verified") & F.coalesce("lcs_ok", F.lit(False)),
+        )
+        .drop("lcs_ok")
+    )
 
 
 def _suffix_array(s: np.ndarray) -> np.ndarray:

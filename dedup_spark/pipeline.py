@@ -121,9 +121,14 @@ def run_pipeline(
     )
     shingles = signatures.select("file_id", "shingles")
     pairs = stage("candidates", lambda: candidate_pairs(signatures, cfg))
-    edges = stage(
-        "edges", lambda: verify_pairs(pairs, signatures, shingles, cfg)
-    )
+
+    def build_edges():
+        from .operators.verify import apply_lcs_gate
+
+        e = verify_pairs(pairs, signatures, shingles, cfg)
+        return apply_lcs_gate(e, corpus, cfg, content_col, id_col)
+
+    edges = stage("edges", build_edges)
     clusters = stage(
         "clusters",
         lambda: cluster_assignments(

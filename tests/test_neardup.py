@@ -114,6 +114,19 @@ def test_resume_skips_stages(spark, corpus, tmp_path_factory):
     assert {"signatures", "candidates", "edges", "clusters"} <= stages
 
 
+def test_lcs_gate_in_pipeline(spark, corpus):
+    """min_lcs wires the suffix-array gate into the pipeline: a sane
+    threshold keeps true near-dups, an impossible one demotes all."""
+    small = corpus.limit(80).cache()
+    plain = run_pipeline(small, CFG)["edges"].where("verified").count()
+    sane = run_pipeline(small, DedupConfig(min_lcs=40))["edges"].where(
+        "verified").count()
+    none = run_pipeline(small, DedupConfig(min_lcs=10**6))["edges"].where(
+        "verified").count()
+    assert none == 0
+    assert 0 < sane <= plain
+
+
 def test_lcs_gate(spark):
     """Suffix-array LCS filter: shared block found, unrelated pair rejected."""
     from dedup_spark.operators.verify import lcs_filter, longest_common_substring
