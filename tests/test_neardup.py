@@ -117,7 +117,9 @@ def test_resume_skips_stages(spark, corpus, tmp_path_factory):
 def test_lcs_gate_in_pipeline(spark, corpus):
     """min_lcs wires the suffix-array gate into the pipeline: a sane
     threshold keeps true near-dups, an impossible one demotes all."""
-    small = corpus.limit(80).cache()
+    # dup clusters are appended after base singletons in synth — take the
+    # tail so the slice actually contains near-dups
+    small = corpus.where("file_id >= 300").cache()
     plain = run_pipeline(small, CFG)["edges"].where("verified").count()
     sane = run_pipeline(small, DedupConfig(min_lcs=40))["edges"].where(
         "verified").count()
