@@ -114,6 +114,24 @@ def test_resume_skips_stages(spark, corpus, tmp_path_factory):
     assert {"signatures", "candidates", "edges", "clusters"} <= stages
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="FIXTURES.md 5k recall gate; run with RUN_SLOW=1 (evidence in "
+           "BENCH/BASELINE.md §5: recall 1.0 on 11,229 oracle pairs)",
+)
+def test_recall_gate_5k(spark):
+    cfg = DedupConfig()
+    corpus = corpus_df(spark, 5000, seed=123).cache()
+    res = run_pipeline(corpus, cfg)
+    got = {(r["src"], r["dst"])
+           for r in res["edges"].where("verified").collect()}
+    rows = [(r["file_id"], r["content"]) for r in corpus.collect()]
+    op, _ = run_oracle(rows, cfg)
+    assert len(op) > 5000
+    assert got <= op  # exact precision
+    assert 1 - len(op - got) / len(op) >= 0.99
+
+
 def test_lcs_gate_in_pipeline(spark, corpus):
     """min_lcs wires the suffix-array gate into the pipeline: a sane
     threshold keeps true near-dups, an impossible one demotes all."""
