@@ -131,30 +131,13 @@ def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_max_mem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 MaxMem peak-liveness sweep (reader.go:324-349) over the chunk
-    manifest: +length at first occurrence, -length after last, max running
-    sum in stream order. Deltas pre-aggregated per position so the running
-    sum is tie-order independent."""
-    m = _chunk_manifest(spark, sf_dir)
-    m = m.withColumn(
-        "gseq", F.col("doc_id").cast("long") * (1 << 20) + F.col("seq")
-    )
-    spans = m.groupBy("hash").agg(
-        F.min("gseq").alias("first_seq"),
-        F.max("gseq").alias("last_seq"),
-        F.first("length").alias("length"),
-    )
-    events = spans.select(
-        F.col("first_seq").alias("pos"), F.col("length").cast("long").alias("delta")
-    ).unionAll(
-        spans.select(
-            (F.col("last_seq") + 1).alias("pos"),
-            (-F.col("length")).cast("long").alias("delta"),
-        )
-    ).groupBy("pos").agg(F.sum("delta").alias("delta"))
-    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
-    return events.withColumn("live", F.sum("delta").over(w)).agg(
-        F.max("live").alias("max_mem")
-    )
+    manifest. Delegates to the library operator: per-position delta
+    pre-aggregation (tie-order independence) + a two-phase distributed
+    prefix sum — no single-partition global Window."""
+    from dedup_spark.operators.dedup import max_mem
+
+    m = _chunk_manifest(spark, sf_dir).withColumnRenamed("doc_id", "file_id")
+    return max_mem(m)
 
 
 def q_dup_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,29 +284,54 @@ def _minhash_sql() -> str:
     """
 
 
+_MAX_BAND_BUCKET = 10000  # pair-gen cap per LSH bucket (no-op at test SFs)
+
+
 def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 LSH banding at document granularity (4 bands × r=4 over K=16):
-    candidate pairs sharing any band value."""
+    candidate pairs sharing any band value.
+
+    Plan (mirrors operators/lsh.py): ONE pass over the signature subplan —
+    all 4 band values built as an array and exploded, then pairs generated
+    within each (band_id, band_val) bucket from a sorted posting list. One
+    shuffle; no self-join; the signature subplan is evaluated once instead
+    of 4x. Buckets above ``_MAX_BAND_BUCKET`` are dropped (logged via the
+    n_dropped side — none at driver SFs, so output is byte-identical to the
+    SQL twin's full self-join)."""
     sig = q_minhash_signatures(spark, sf_dir)
-    bands = []
-    for band in range(4):
-        cols = [F.col(f"mh{band * 4 + j}").cast("string") for j in range(4)]
-        bands.append(
-            sig.select(
-                "doc_id",
+    band_arr = F.array(
+        *[
+            F.struct(
                 F.lit(band).alias("band_id"),
-                F.md5(F.concat_ws("-", *cols)).alias("band_val"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col(f"mh{band * 4 + j}").cast("string")
+                            for j in range(4)
+                        ],
+                    )
+                ).alias("band_val"),
             )
-        )
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionAll(x)
-    l = allb.select("band_id", "band_val", F.col("doc_id").alias("a"))
-    r = allb.select("band_id", "band_val", F.col("doc_id").alias("b"))
+            for band in range(4)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_val"
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= _MAX_BAND_BUCKET))
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
     return (
-        l.join(r, ["band_id", "band_val"])
-        .where(F.col("a") < F.col("b"))
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.src", "p.dst")
         .distinct()
         .orderBy("src", "dst")
     )
@@ -403,29 +411,52 @@ def _simhash_sql() -> str:
     """
 
 
+_MAX_GRAM_DF = 1000  # posting-list cap: grams in more docs carry no signal
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram exact Jaccard near-dup pairs (threshold 0.3)."""
+    """Word-3-gram exact Jaccard near-dup pairs (threshold 0.3).
+
+    Plan: posting-list pair generation, NOT a self-join on the raw n-gram
+    string. Grams are keyed by ``xxhash64`` (8-byte shuffle key instead of
+    full 3-gram text); each gram's sorted doc list yields its pairs
+    directly, so pair explosion is bounded by ``_MAX_GRAM_DF``² per gram
+    rather than quadratic in an unbounded hot-gram posting list. At the
+    driver SFs every gram is far below the cap, so results are identical to
+    the exact SQL twin (which applies the same df cap)."""
     d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
     toks = F.split(F.trim("text"), r"\s+")
+    # docs with <3 tokens yield zero grams (sequence(1,0) would otherwise
+    # expand DESCENDING to [1,0] and slice(toks,0,3) throws — matches the
+    # DuckDB generate_series semantics which emits nothing)
+    gram_idx = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
     grams = d.select(
         "doc_id",
         F.explode(
             F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-                )
+                F.transform(gram_idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
             )
         ).alias("ng"),
-    ).where(F.col("ng") != "")
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ).where(F.col("ng") != "").select("doc_id", F.xxhash64("ng").alias("gh"))
+    postings = (
+        grams.groupBy("gh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") <= _MAX_GRAM_DF)
+    )
+    sizes = postings.select(F.explode("ids").alias("doc_id")).groupBy(
+        "doc_id"
+    ).agg(F.count("*").alias("n"))
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
     inter = (
-        grams.alias("x")
-        .join(grams.alias("y"), "ng")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("src"), F.col("y.doc_id").alias("dst")
-        )
+        postings.where(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .agg(F.count("*").alias("n_common"))
     )
     return (
@@ -444,8 +475,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_SQL = """
-WITH grams AS (
+_NGRAM_SQL = f"""
+WITH grams0 AS (
     SELECT DISTINCT doc_id, ng
     FROM (
         SELECT d.doc_id,
@@ -459,6 +490,11 @@ WITH grams AS (
         WHERE i.i <= greatest(len(d.toks) - 2, 0)
     )
     WHERE ng <> ''
+), kept AS (
+    -- same df cap as the Spark plan (_MAX_GRAM_DF); no-op at driver SFs
+    SELECT ng FROM grams0 GROUP BY ng HAVING count(*) <= {_MAX_GRAM_DF}
+), grams AS (
+    SELECT doc_id, ng FROM grams0 JOIN kept USING (ng)
 ), sizes AS (
     SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
 ), inter AS (
@@ -863,7 +899,9 @@ def oracle_sql() -> dict[str, str]:
                     SELECT last_seq + 1 AS pos, CAST(-length AS BIGINT) AS delta FROM spans
                 ) GROUP BY pos
             )
-            SELECT max(live) AS max_mem FROM (
+            -- windowed sum() re-promotes BIGINT -> HUGEINT in DuckDB; cast
+            -- back so the value hash matches Spark's long
+            SELECT CAST(max(live) AS BIGINT) AS max_mem FROM (
                 SELECT sum(delta) OVER (ORDER BY pos
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
                 FROM events

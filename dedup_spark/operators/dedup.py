@@ -30,10 +30,22 @@ def with_global_seq(chunks: DataFrame, seq_bits: int = 20) -> DataFrame:
     a single-partition bottleneck at 100 TB). seq_bits=20 allows 1M chunks
     per file.
     """
-    return chunks.withColumn(
-        "global_seq",
+    # Fail loudly on overflow: a file with >= 2^seq_bits chunks would bleed
+    # into the next file's range and silently corrupt first-occurrence
+    # ordering and backref distances.
+    guarded = F.when(
+        F.col("seq") < F.lit(1 << seq_bits),
         (F.col("file_id").cast("long") * (1 << seq_bits)) + F.col("seq"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"with_global_seq: seq >= 2^{seq_bits} in file_id="),
+                F.col("file_id").cast("string"),
+                F.lit("; raise seq_bits"),
+            )
+        )
     )
+    return chunks.withColumn("global_seq", guarded)
 
 
 def build_manifest(chunks: DataFrame, max_backref: int | None = None) -> DataFrame:
@@ -79,6 +91,10 @@ def unique_chunks(manifest: DataFrame, corpus: DataFrame,
                 " cast(offset + 1 as int), length)"
             ).alias("payload"),
         )
+        # a manifest built with max_backref re-flags far re-occurrences as
+        # new (J3); payloads for one hash are identical by construction, so
+        # keep one — reconstruct's join on hash must see unique keys
+        .dropDuplicates(["hash"])
     )
 
 
@@ -97,11 +113,25 @@ def dedup_stats(manifest: DataFrame) -> DataFrame:
     )
 
 
-def max_mem(manifest: DataFrame, read_data_bytes: bool = True) -> DataFrame:
+def max_mem(
+    manifest: DataFrame, read_data_bytes: bool = True, n_buckets: int = 256
+) -> DataFrame:
     """A4 MaxMem — peak decoder memory via interval-overlap sweep
     (reader.go:324-349): each unique hash is live from its first to its
     last occurrence; answer = max running sum of (+size at first, -size
-    after last) over stream order. Window running-sum, single shuffle.
+    after last) over stream order.
+
+    The running sum is a **two-phase distributed prefix sum**, not a global
+    ``Window.orderBy`` (which plans a single-partition sort — one task holds
+    every event at 100 TB):
+
+    1. deltas pre-aggregated per position (tie-order independence — two
+       intervals meeting at one position must net out, not race);
+    2. positions bucketed into ``n_buckets`` contiguous ranges by arithmetic
+       on broadcast min/max bounds (deterministic, no sampling);
+    3. per-bucket running sums via a window partitioned by bucket;
+    4. per-bucket totals (tiny: ``n_buckets`` rows) turned into exclusive
+       prefix offsets and broadcast-joined back.
     """
     spans = (
         with_global_seq(manifest)
@@ -113,15 +143,42 @@ def max_mem(manifest: DataFrame, read_data_bytes: bool = True) -> DataFrame:
         )
     )
     delta = F.col("length") if read_data_bytes else F.lit(1)
-    events = spans.select(
-        F.col("first_seq").alias("pos"), delta.cast("long").alias("delta")
-    ).unionAll(
+    events = (
         spans.select(
-            (F.col("last_seq") + 1).alias("pos"), (-delta).cast("long").alias("delta")
+            F.col("first_seq").alias("pos"), delta.cast("long").alias("delta")
         )
+        .unionAll(
+            spans.select(
+                (F.col("last_seq") + 1).alias("pos"),
+                (-delta).cast("long").alias("delta"),
+            )
+        )
+        .groupBy("pos")
+        .agg(F.sum("delta").alias("delta"))
     )
-    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        events.withColumn("live", F.sum("delta").over(w))
-        .agg(F.max("live").alias("max_mem"))
+    bounds = events.agg(F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+    ev = events.crossJoin(F.broadcast(bounds))
+    width = F.greatest(
+        F.ceil((F.col("hi") - F.col("lo") + 1) / F.lit(n_buckets)), F.lit(1)
+    )
+    ev = ev.withColumn(
+        "bucket", F.floor((F.col("pos") - F.col("lo")) / width)
+    ).drop("lo", "hi")
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ev.withColumn("run", F.sum("delta").over(w_local))
+    totals = local.groupBy("bucket").agg(
+        F.sum("delta").alias("tot"), F.max("run").alias("local_max")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.withColumn(
+        "off", F.coalesce(F.sum("tot").over(w_off), F.lit(0).cast("long"))
+    )
+    # peak = max over buckets of (bucket offset + that bucket's local max);
+    # no need to join back to the event rows at all
+    return offs.agg(
+        F.max(F.col("off") + F.col("local_max")).alias("max_mem")
     )

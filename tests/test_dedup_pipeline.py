@@ -66,6 +66,78 @@ def test_max_mem(spark, pipeline):
     assert 0 < mm <= stats["unique_bytes"]
 
 
+def _max_mem_brute(rows, seq_bits=20):
+    """Reference sweep (reader.go:324-349) in plain Python."""
+    spans = {}
+    for r in rows:
+        g = r["file_id"] * (1 << seq_bits) + r["seq"]
+        first, last, ln = spans.get(r["hash"], (g, g, r["length"]))
+        spans[r["hash"]] = (min(first, g), max(last, g), ln)
+    deltas = {}
+    for first, last, ln in spans.values():
+        deltas[first] = deltas.get(first, 0) + ln
+        deltas[last + 1] = deltas.get(last + 1, 0) - ln
+    live = peak = 0
+    for pos in sorted(deltas):
+        live += deltas[pos]
+        peak = max(peak, live)
+    return peak
+
+
+def test_max_mem_exact_distributed(spark):
+    """Two-phase prefix sum gives the exact sweep value on a multi-partition
+    frame, including adjacent intervals whose -delta and +delta land on the
+    SAME position (the tie case the old un-preaggregated window got wrong).
+    """
+    # hash A lives [0,2], B [3,5] (B.first == A.last+1 — tie position),
+    # C [1,9], D at 7 only; lengths distinguish contributions
+    rows = [
+        ("A", 0, 0), ("C", 0, 1), ("A", 0, 2), ("B", 0, 3),
+        ("B", 0, 5), ("D", 0, 7), ("C", 0, 9),
+    ]
+    data = [
+        {"file_id": f, "seq": s, "hash": h.encode(), "length": 100 + i,
+         "offset": 0, "is_new": True}
+        for i, (h, f, s) in enumerate(rows)
+    ]
+    # make per-hash length consistent (first wins in the operator)
+    by_hash = {}
+    for d in data:
+        d["length"] = by_hash.setdefault(d["hash"], 10 * (d["hash"][0]))
+    mdf = spark.createDataFrame(data).repartition(8)
+    got = max_mem(mdf, n_buckets=4).collect()[0]["max_mem"]
+    assert got == _max_mem_brute(data)
+    # the heavy running sum must be bucket-partitioned: no WindowExec without
+    # a partition spec over the events frame except the tiny per-bucket
+    # offsets pass (n_buckets rows)
+    plan = max_mem(mdf, n_buckets=4)._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+
+
+def test_unique_chunks_distinct_under_max_backref(spark, corpus200):
+    """A bounded-window manifest re-flags far re-occurrences as new (J3);
+    unique_chunks must still emit one payload per hash so reconstruct's
+    join cannot fan out."""
+    chunks = chunk_and_hash(corpus200, mode="fixed", max_size=1024)
+    manifest = build_manifest(chunks, max_backref=2)
+    uniq = unique_chunks(manifest, corpus200)
+    n, nd = uniq.agg(
+        F.count("*").alias("n"), F.countDistinct("hash").alias("nd")
+    ).collect()[0]
+    assert n == nd
+    assert verify_roundtrip(corpus200, manifest, uniq).count() == 0
+
+
+def test_global_seq_overflow_raises(spark):
+    from dedup_spark.operators.dedup import with_global_seq
+
+    df = spark.createDataFrame(
+        [{"file_id": 1, "seq": 40}], "file_id long, seq int"
+    )
+    with pytest.raises(Exception, match="seq_bits"):
+        with_global_seq(df, seq_bits=5).collect()
+
+
 def test_bounded_backref_window(spark, corpus200):
     """J3: with a tiny max_backref, fewer chunks count as dups
     (format-2 semantics, writer.go:541-543)."""

@@ -122,3 +122,22 @@ def test_multimodal_plumbing(spark):
     )
     plan = frame_sample_plan(vids, every_n=10)
     assert plan.where("media_id = 1").count() == 3  # frames 0, 10, 20
+
+
+def test_ngram_pairs_short_docs(spark, tmp_path):
+    """Docs with <3 whitespace tokens must yield zero grams, not crash
+    (sequence(1,0) expands descending and slice(toks,0,3) throws)."""
+    import __spark_entry__ as e
+
+    rows = [
+        (0, "two tokens", "en", "s", 10),
+        (1, "one", "en", "s", 3),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "s", 35),
+        (3, "alpha beta gamma delta epsilon zeta", "en", "s", 35),
+        (4, "", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = e.q_ngram_jaccard_pairs(spark, str(tmp_path)).collect()
+    assert [(r["src"], r["dst"], r["jaccard"]) for r in got] == [(2, 3, 1.0)]
