@@ -545,13 +545,32 @@ ORDER BY q_id, item_id
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN baseline: exact top-5 per query (rows-only check: float rank
-    ties make cross-engine hashing brittle; neighbors query above is the
-    value-checked variant)."""
+    """ANN baseline: exact top-5 per query. Rank ties broken
+    deterministically (rounded cosine desc, item_id asc) on BOTH engines,
+    so the value check is exact."""
     from dedup_spark.operators.simsearch import cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_topk(emb, emb.where("vec_id < 10"), k=5)
+
+
+_EMB_TOPK_SQL = """
+SELECT q_id, item_id, cosine, rank FROM (
+    SELECT q.vec_id AS q_id,
+           x.vec_id AS item_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        x.embedding::DOUBLE[]), 6) AS cosine,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                     x.embedding::DOUBLE[]), 6)
+                        DESC, x.vec_id) AS rank
+    FROM embeddings q, embeddings x
+    WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id
+)
+WHERE rank <= 5
+ORDER BY q_id, rank
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -920,10 +939,15 @@ def oracle_sql() -> dict[str, str]:
                      AS n_dup_docs
             FROM m GROUP BY lang ORDER BY lang
         """,
-        # zpaq_chunk_stats: intentionally omitted (non-SQL-expressible CDC
-        # kernel; rows-only check; golden parity in tests/test_chunkers.py)
-        # embedding_topk: intentionally omitted (float rank ties brittle
-        # across engines; embedding_neighbors is the value-checked twin)
+        # zpaq_chunk_stats: intentionally omitted — the ZPAQ CDC boundary
+        # decision is a per-byte data-dependent recurrence over the raw
+        # UTF-8 bytes with 256 bytes of carried state (o1 table); the
+        # driver's oracle surface is a bare DuckDB SQL string (no UDF
+        # registration hook), and a recursive-CTE byte walk over multibyte
+        # text is neither robustly expressible nor tractable. Kernel
+        # correctness is instead gated by reference golden vectors
+        # (tests/test_chunkers.py) and the Spark-vs-local-kernel
+        # equivalence test (tests/test_dedup_pipeline.py).
         "token_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1019,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _simhash_sql(),
         "ngram_jaccard_pairs": _NGRAM_SQL,
         "embedding_neighbors": _EMB_SQL,
+        "embedding_topk": _EMB_TOPK_SQL,
         "pricing_summary": _PRICING_SQL,
         "top_customers": _TOP_CUST_SQL,
         "user_event_windows": _EVENT_WINDOW_SQL,

@@ -25,12 +25,22 @@ class DedupConfig:
     seed: int = 1315423911         # coefficient seed
 
     # LSH
-    bands: int = 64                # b; r = K/b = 2 → P(catch | J=0.5) ≈ 1-0.75^64
-                                   # ≈ 1-1e-8, comfortably above the 0.99 recall
-                                   # gate; false candidates are killed by the
-                                   # exact-Jaccard verify stage
-    max_bucket: int = 256          # candidate-pair cap per band bucket (skew guard)
-    salt: int = 8                  # salt factor for hot band keys
+    bands: int = 32                # b; with r=2: P(catch | J=0.5) = 1-0.75^32
+                                   # ≈ 0.9999 — well above the 0.99 recall gate
+                                   # (expected misses ~1 in 10^4 borderline
+                                   # pairs); the band explode+shuffle is the
+                                   # dominant 100 TB shuffle and scales with b,
+                                   # so b=64 (miss 1e-8) buys nothing but 2x
+                                   # shuffle volume. False candidates are
+                                   # killed by the exact-Jaccard verify stage.
+    band_rows: int = 2             # r; bands*band_rows <= num_perm (uses the
+                                   # first b*r of the K permutations)
+    max_bucket: int = 256          # direct pair-gen cap per band bucket; larger
+                                   # buckets split into ceil(size/max_bucket)
+                                   # salted blocks (operators/lsh.py skew ladder)
+    salt: int = 8                  # salted pair-gen ceiling = max_bucket*salt;
+                                   # buckets beyond it are dropped with logged
+                                   # metrics (true boilerplate mega-buckets)
 
     # verification
     max_shingles: int = 1024       # bottom-k sketch of the distinct-shingle
@@ -55,8 +65,8 @@ class DedupConfig:
 
     @property
     def rows_per_band(self) -> int:
-        assert self.num_perm % self.bands == 0
-        return self.num_perm // self.bands
+        assert self.bands * self.band_rows <= self.num_perm
+        return self.band_rows
 
 
 def minhash_coeffs(k: int, seed: int):

@@ -48,13 +48,22 @@ def read_uvarint(buf: io.BytesIO) -> int:
         s += 7
 
 
-def _encode_blocks(data: bytes, mode, max_size: int, max_backref: int | None):
+def _encode_blocks(data: bytes, mode, max_size: int, max_backref: int | None,
+                   max_index_blocks: int = 0):
     """Chunk + dedup-index walk shared by both writers.
 
     Returns (records, trailer_bytes): records are (payload|None, offset)
     tuples for boundary-emitted blocks (None ⇒ dup); trailer_bytes is the
     Close()-time remainder carried raw by the EOS record — the reference
     neither hashes nor indexes it (writer.go:391-406, 409-424).
+
+    ``max_index_blocks`` > 0 enables the format-1 bounded-memory index
+    eviction (writer.go:510-527): whenever the index exceeds that many
+    entries, sort the stored block numbers ascending and drop every entry
+    older than the ``maxBlocks/4``-th one — the reference's amortized
+    approximate LRU ("Cut the oldest quarter blocks since this isn't
+    free"). Required for byte-exact interop with memory-bounded reference
+    archives.
     """
     from .chunkers import chunks_with_flush
 
@@ -75,16 +84,28 @@ def _encode_blocks(data: bytes, mode, max_size: int, max_backref: int | None):
         else:
             records.append((payload, 0))
         index[h] = n  # "Update hash to latest match" (writer.go:507-508)
+        if max_index_blocks > 0 and len(index) > max_index_blocks:
+            ar = sorted(index.values())
+            cutoff = ar[max_index_blocks // 4]
+            index = {k: v for k, v in index.items() if v >= cutoff}
     return records, trailer
 
 
-def encode_format1(data: bytes, mode="fixed", max_size: int = 1024):
-    """Returns (index_bytes, data_bytes)."""
+def encode_format1(data: bytes, mode="fixed", max_size: int = 1024,
+                   max_memory: int = 0):
+    """Returns (index_bytes, data_bytes).
+
+    ``max_memory`` > 0 bounds the dedup index to ``max_memory // max_size``
+    blocks via the reference's quartile-cut eviction (NewWriter's maxMemory
+    knob, writer.go:132-155, 510-527); 0 keeps the index unbounded.
+    """
     idx = io.BytesIO()
     dat = io.BytesIO()
     write_uvarint(idx, 1)
     write_uvarint(idx, max_size)
-    records, trailer = _encode_blocks(data, mode, max_size, None)
+    records, trailer = _encode_blocks(
+        data, mode, max_size, None, max_index_blocks=max_memory // max_size
+    )
     for payload, off in records:
         if payload is None:
             write_uvarint(idx, off)
@@ -133,6 +154,49 @@ def decode_format1(index: bytes, data: bytes) -> bytes:
             block = blocks[src]
             blocks.append(block)
             out.write(block)
+
+
+def format1_max_mem(index: bytes) -> int:
+    """Reader MaxMem over a format-1 index stream (reader.go:167-229 parse +
+    324-349 sweep): each unique block is live from its first to its last
+    occurrence; peak = max running sum of readData over block positions.
+    The trailing EOS block (first=last=its own position in the walk, like
+    the reference's zero-value rblock fields) never accumulates."""
+    idx = io.BytesIO(index)
+    if read_uvarint(idx) != 1:
+        raise ValueError("not a format-1 index stream")
+    max_size = read_uvarint(idx)
+    # blocks[i] = shared [first, last, read_data] cell; position 0 unused
+    blocks: list[list[int]] = [[0, 0, 0]]
+    i = 0
+    while True:
+        i += 1
+        offset = read_uvarint(idx)
+        if offset == 0:
+            r = read_uvarint(idx)
+            blocks.append([i, i, max_size - r])
+        elif offset == MAX_U64:
+            r = read_uvarint(idx)
+            blocks.append([0, 0, max_size - r])
+            if read_uvarint(idx) != 0:
+                raise ValueError("bad stream terminator")
+            break
+        else:
+            pos = len(blocks) - offset
+            if pos <= 0:
+                raise ValueError("invalid offset")
+            org = blocks[pos]
+            org[1] = i
+            blocks.append(org)
+    cur = peak = 0
+    for i in range(1, len(blocks)):
+        first, last, read_data = blocks[i]
+        if first == i:
+            cur += read_data
+        peak = max(peak, cur)
+        if last == i:
+            cur -= read_data
+    return peak
 
 
 def encode_format2(data: bytes, mode="fixed", max_size: int = 1024,

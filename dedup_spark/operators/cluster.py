@@ -88,15 +88,16 @@ def _finalize_on_driver(e: DataFrame, mapping: DataFrame) -> DataFrame:
 
 def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
     canon = _canon(edges)
-    # Fast path: small graphs skip the distributed rounds entirely — one
-    # collect, union-find on the driver, one broadcast join back.
-    first_count = canon.persist().count()
-    if first_count <= DRIVER_FINALIZE_EDGES:
+    # Fast path: small graphs skip the distributed rounds entirely — ONE
+    # limit-guarded collect (no separate count job), union-find on the
+    # driver, one createDataFrame back. The limit probe is the size test:
+    # getting <= threshold rows back means we got ALL rows.
+    probe = canon.limit(DRIVER_FINALIZE_EDGES + 1).collect()
+    if len(probe) <= DRIVER_FINALIZE_EDGES:
         from ..oracle import UnionFind, oracle_clusters
 
         uf = UnionFind()
-        pairs = canon.collect()
-        canon.unpersist()
+        pairs = [(r[0], r[1]) for r in probe]
         for u, v in pairs:
             uf.union(u, v)
         assign = oracle_clusters(list(uf.parent), pairs)
@@ -106,7 +107,6 @@ def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
         )
 
     e = canon.repartition(n_partitions).localCheckpoint(eager=True)
-    canon.unpersist()
     mapping = (
         e.select(F.col("u").alias("vertex"))
         .unionAll(e.select(F.col("v").alias("vertex")))

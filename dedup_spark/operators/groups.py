@@ -1,0 +1,115 @@
+"""Exact-sketch group contraction — exact dedup before near-dup.
+
+Files whose (bottom-k distinct) shingle sketches are IDENTICAL are, by the
+pipeline's own similarity definition, pairwise duplicates with Jaccard
+exactly 1. Collapsing each such group to one representative before
+LSH/verify is the file-granularity analog of the reference splitter's
+once-new-always-old index probe (/root/reference/writer.go:595-601): the
+first occurrence (min file_id) represents the group everywhere downstream.
+
+Why this is THE 100 TB lever: corpora are exact-copy heavy, and a
+power-law giant cluster of N exact copies otherwise costs O(N²) verify
+pairs and O(N²) CC edges. With contraction the quadratic surface exists
+only where the user explicitly asks for the materialized pair list
+(``expand_group_edges``); candidate generation, verification, and
+clustering all run on group representatives.
+
+Correctness: sketch equality ⇒ identical MinHash ⇒ identical band
+buckets, so representative-level candidate coverage equals member-level
+coverage; and for any members a∈A, b∈B, jaccard(a,b) = jaccard(rep_A,
+rep_B) exactly (the verify metric is a function of the sketch alone).
+Group keys are two independent 64-bit hashes of the sketch array (128
+bits total) so key collisions are negligible even at 10^12 files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PAIRS_IN_LIST = (
+    "flatten(transform(ids, (x, i) -> "
+    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+    "y -> struct(x AS src, y AS dst))))"
+)
+
+
+def sketch_groups(signatures: DataFrame) -> DataFrame:
+    """(file_id, g1, g2, rep, group_size): rep = min file_id among files
+    with an identical shingle sketch. Files with no shingles are excluded
+    (they never participate in matching)."""
+    keyed = signatures.where(F.col("n_shingles") > 0).select(
+        "file_id",
+        F.xxhash64("shingles").alias("g1"),
+        F.xxhash64(F.lit(1), F.col("shingles")).alias("g2"),
+    )
+    # window (not groupBy + join-back): ONE scan of the signature frame and
+    # ONE exchange on the 128-bit group key
+    w = Window.partitionBy("g1", "g2")
+    return keyed.select(
+        "file_id",
+        "g1",
+        "g2",
+        F.min("file_id").over(w).alias("rep"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
+def representative_ids(groups: DataFrame) -> DataFrame:
+    return groups.where(F.col("file_id") == F.col("rep")).select("file_id")
+
+
+def group_star_pairs(groups: DataFrame) -> DataFrame:
+    """Linear (rep, member) spanning edges — all a cluster stage needs to
+    connect each group internally."""
+    return (
+        groups.where(F.col("file_id") != F.col("rep"))
+        .select(F.col("rep").alias("src"), F.col("file_id").alias("dst"))
+    )
+
+
+def within_group_pairs(groups: DataFrame) -> DataFrame:
+    """ALL member pairs of every group (jaccard exactly 1) — the quadratic
+    pair surface, materialized only for pair-level outputs/audits."""
+    members = (
+        groups.where(F.col("group_size") > 1)
+        .groupBy("g1", "g2")
+        .agg(F.sort_array(F.collect_list("file_id")).alias("ids"))
+    )
+    return (
+        members.select(F.explode(F.expr(_PAIRS_IN_LIST)).alias("p"))
+        .select(
+            "p.src",
+            "p.dst",
+            F.lit(0).alias("hamming"),
+            F.lit(1.0).alias("jaccard"),
+            F.lit(True).alias("verified"),
+        )
+    )
+
+
+def expand_group_edges(edges_rep: DataFrame, groups: DataFrame) -> DataFrame:
+    """Representative-level edges → member-level pair list:
+
+    * verified rep pairs fan out to every (member of src-group, member of
+      dst-group) combination — same jaccard/hamming by sketch equality;
+    * every within-group pair is emitted with jaccard 1;
+    * unverified rep pairs pass through unexpanded (diagnostic surface).
+    """
+    mem = groups.select("rep", "file_id")
+    cross = (
+        edges_rep.where("verified")
+        .join(mem.withColumnsRenamed({"rep": "src", "file_id": "ma"}), "src")
+        .join(mem.withColumnsRenamed({"rep": "dst", "file_id": "mb"}), "dst")
+        .select(
+            F.least("ma", "mb").alias("src"),
+            F.greatest("ma", "mb").alias("dst"),
+            "hamming",
+            "jaccard",
+            "verified",
+        )
+    )
+    rejected = edges_rep.where(~F.col("verified")).select(
+        "src", "dst", "hamming", "jaccard", "verified"
+    )
+    return cross.unionByName(within_group_pairs(groups)).unionByName(rejected)

@@ -1,25 +1,36 @@
 """Stage 4a: LSH banding — signatures → candidate pairs (SURVEY.md J7).
 
-Plan shape (all relational, one shuffle on the band key):
+Plan shape (all relational, ONE scan of the signature frame and ONE
+exchange on the band key):
 
   signatures
     → explode K minhash values into b bands of r rows        (JVM-side)
     → band_hash = xxhash64(band_id, r-slice)                 (JVM-side)
-    → skew guard: bucket counts; buckets > max_bucket dropped
-      WITH LOGGED METRICS (boilerplate bands are power-law hot;
-      north_rule requires explicit skew handling, no silent truncation)
-    → self-join within bucket, src < dst
+    → ONE shuffle on (band_id, band_hash); bucket sizes via a window
+      count over that partitioning (no second scan, no join back)
+    → skew ladder per bucket size s (north_rule: explicit skew handling,
+      no silent truncation):
+        s ≤ max_bucket          → direct in-partition pair-gen
+        s ≤ max_bucket·salt     → SALTED pair-gen: members split into
+          ceil(s/max_bucket) blocks; every block pair (i ≤ j) becomes its
+          own task key, so no task ever materializes more than
+          ~2·max_bucket members. Recall-neutral — every member pair lands
+          in exactly one block pair.
+        s > max_bucket·salt     → dropped WITH LOGGED METRICS (true
+          boilerplate mega-buckets: quadratic pair-gen is never the right
+          answer there at any parallelism)
     → distinct pairs
 
-The bucket self-join is quadratic per bucket but bounded by max_bucket;
-AQE skew-join splits any residual hot partitions. At 100 TB the band
-shuffle is the dominant cost: payload is (band_hash, file_id) only —
-16 bytes a row — never content or full signatures.
+The window count buffers each bucket group in-partition
+(ExternalAppendOnlyUnsafeRowArray — spills, never OOMs); the downstream
+collect_list group sizes are bounded by max_bucket after the filter. At
+100 TB the band shuffle is the dominant cost: payload is
+(band_hash, file_id) only — 16 bytes a row — never content or signatures.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig
@@ -55,54 +66,86 @@ def bucket_stats(buckets: DataFrame) -> DataFrame:
     )
 
 
+_PAIRS_IN_LIST = (
+    "flatten(transform(ids, (x, i) -> "
+    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+    "y -> struct(least(x, y) AS src, greatest(x, y) AS dst))))"
+)
+
+_PAIRS_ACROSS_LISTS = (
+    "flatten(transform(ids, x -> "
+    "transform(ids_r, y -> "
+    "struct(least(x, y) AS src, greatest(x, y) AS dst))))"
+)
+
+
 def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
                     return_metrics: bool = False):
     """Distinct (src, dst) candidate pairs from banded MinHash.
 
-    Buckets larger than ``cfg.max_bucket`` are excluded from pair
-    generation and surfaced in the metrics DataFrame (dropped_buckets,
-    dropped_rows) — explicit, logged skew handling instead of a silent
-    quadratic blow-up.
+    One unified salted path: every bucket is split into
+    ``nb = ceil(size / max_bucket)`` blocks and every block pair (i ≤ j)
+    becomes its own aggregation group, so no task ever materializes more
+    than ~2·max_bucket members. ``nb = 1`` (the common case) degenerates to
+    plain in-bucket pair generation with zero replication, so small and hot
+    buckets share one plan: scan → window count (the only wide exchange) →
+    in-partition groupBy (prefix partitioning, no second exchange) → pair
+    explode → distinct. Buckets beyond ``max_bucket * salt`` are excluded
+    and surfaced in the metrics frame — explicit, logged skew handling
+    instead of a silent quadratic blow-up.
     """
     buckets = band_buckets(signatures, cfg)
-    # Skew-safe order of operations: bucket SIZES first (count is a
-    # map-side partial aggregate — a power-law hot band never materializes
-    # anywhere), filter oversize buckets out, and only then collect member
-    # lists. Collecting first would OOM a single task on a boilerplate
-    # mega-bucket at corpus scale.
-    sizes = buckets.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("bucket_size")
+    max_b = cfg.max_bucket
+    salt_cap = max_b * max(1, cfg.salt)
+    w = Window.partitionBy("band_id", "band_hash")
+    counted = buckets.withColumn("bucket_size", F.count("*").over(w)).where(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= salt_cap)
     )
-    kept_keys = sizes.where(
-        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.max_bucket)
+
+    # block id per member + one row per block-pair task it belongs to; a
+    # member in block b joins tasks (min(b,t), max(b,t)) for every t. The
+    # diagonal task pairs within its own member list; off-diagonal tasks
+    # cross-pair their two disjoint lists ("l"/"r" by block order).
+    nb = F.ceil(F.col("bucket_size") / max_b).cast("int")
+    tasked = counted.select(
+        "band_id",
+        "band_hash",
+        "file_id",
+        F.pmod(F.xxhash64("file_id"), nb).cast("int").alias("blk"),
+        F.explode(F.sequence(F.lit(0), nb - 1)).alias("t"),
+    ).select(
+        "band_id",
+        "band_hash",
+        "file_id",
+        F.least("blk", "t").alias("bi"),
+        F.greatest("blk", "t").alias("bj"),
+        F.when(F.col("blk") == F.col("t"), F.lit("d"))
+        .when(F.col("blk") < F.col("t"), F.lit("l"))
+        .otherwise(F.lit("r"))
+        .alias("side"),
     )
-    kept = (
-        buckets.join(kept_keys, ["band_id", "band_hash"])
-        .groupBy("band_id", "band_hash")
-        .agg(F.collect_list("file_id").alias("members"))
+    groups = tasked.groupBy("band_id", "band_hash", "bi", "bj").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("side") != "r", F.col("file_id")))
+        ).alias("ids"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("side") == "r", F.col("file_id")))
+        ).alias("ids_r"),
     )
-    # then explode all unordered pairs in-flight (posexplode + slice — no
-    # src<dst self-join); bucket size is capped so the per-row explosion
-    # is bounded by max_bucket^2/2
     pairs = (
-        kept.select(
-            F.posexplode("members").alias("i", "a"), F.col("members")
-        )
-        .select(
-            "a",
+        groups.select(
             F.explode(
-                F.slice(F.col("members"), F.col("i") + 2,
-                        F.size("members"))
-            ).alias("b"),
+                F.when(F.col("bi") == F.col("bj"), F.expr(_PAIRS_IN_LIST))
+                .otherwise(F.expr(_PAIRS_ACROSS_LISTS))
+            ).alias("p")
         )
-        .select(
-            F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
-        )
+        .select("p.src", "p.dst")
         .distinct()
     )
     if not return_metrics:
         return pairs
-    dropped = sizes.where(F.col("bucket_size") > cfg.max_bucket).agg(
+    sizes = bucket_stats(buckets)
+    dropped = sizes.where(F.col("bucket_size") > salt_cap).agg(
         F.count("*").alias("dropped_buckets"),
         F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("dropped_rows"),
         F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),

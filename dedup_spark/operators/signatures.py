@@ -40,12 +40,36 @@ SIG_SCHEMA = (
 _EMPTY_MINHASH_SENTINEL = MERSENNE31  # > any real hash value
 
 
+_MIX_P1 = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+_MIX_P2 = np.uint64(0xBF58476D1CE4E5B9)  # splitmix64 finalizer constants
+_MIX_P3 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix_wgrams(d: np.ndarray, w: int) -> np.ndarray:
+    """Vectorized w-gram hash over per-chunk digest words: multiply-xor
+    chain across the window, then a splitmix64-style finalizer. Replaces a
+    per-gram blake2b call (measured ~0.5 ms/file — a quarter of the
+    signature kernel) with pure numpy; uint64 arithmetic wraps mod 2^64.
+    """
+    m = d.size - w + 1
+    h = d[:m].copy()
+    for j in range(1, w):
+        h = h * _MIX_P1 ^ d[j:j + m]
+    h ^= h >> np.uint64(30)
+    h *= _MIX_P2
+    h ^= h >> np.uint64(27)
+    h *= _MIX_P3
+    h ^= h >> np.uint64(31)
+    return h
+
+
 def shingle_hashes(data: bytes, cfg: DedupConfig) -> np.ndarray:
     """Chunk → w-gram shingles → uint64 hashes (one content scan).
 
     The shingle token stream is the file's CDC chunk-hash sequence — the
     reference's dedup unit (writer.go Fragment.Hash) lifted to w-grams so
-    near-dup detection tolerates chunk-local edits.
+    near-dup detection tolerates chunk-local edits. The w-gram combiner is
+    ``_mix_wgrams`` over the first 8 bytes of each chunk digest.
     """
     fn = chunk_fn(cfg.mode)
     digests = [
@@ -55,12 +79,11 @@ def shingle_hashes(data: bytes, cfg: DedupConfig) -> np.ndarray:
     n = len(digests)
     if n == 0:
         return np.empty(0, dtype=np.uint64), 0
+    dsize = len(digests[0])
+    arr = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(n, dsize)
+    d = arr[:, :8].copy().view(">u8").ravel().astype(np.uint64)
     w = min(cfg.shingle_w, n)
-    out = np.empty(n - w + 1, dtype=np.uint64)
-    for i in range(n - w + 1):
-        h = hashlib.blake2b(b"".join(digests[i:i + w]), digest_size=8).digest()
-        out[i] = int.from_bytes(h, "big")
-    return out, n
+    return _mix_wgrams(d, w), n
 
 
 def minhash_simhash(x: np.ndarray, a: np.ndarray, b: np.ndarray):
@@ -95,10 +118,13 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig,
         b = np.asarray(b_list, dtype=np.int64)
         for batch in batches:
             ids = batch.column(0).to_pylist()
+            # content arrives as BINARY (cast JVM-side): to_pylist yields
+            # bytes directly — no Arrow utf-8 decode + Python re-encode of
+            # the whole corpus
             contents = batch.column(1).to_pylist()
             o_id, o_nc, o_ns, o_mh, o_sh, o_sg = [], [], [], [], [], []
-            for fid, text in zip(ids, contents):
-                data = (text or "").encode("utf-8", "surrogatepass")
+            for fid, data in zip(ids, contents):
+                data = data or b""
                 x, n_chunks = shingle_hashes(data, cfg)
                 mh, sim = minhash_simhash(x, a, b)
                 o_id.append(fid)
@@ -126,7 +152,10 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig,
             )
 
     return corpus.select(
-        F.col(id_col).alias("file_id"), F.col(content_col).alias("content")
+        F.col(id_col).alias("file_id"),
+        # string→binary is a zero-copy reinterpretation of the UTF8String
+        # bytes JVM-side; the kernel needs bytes, never str
+        F.col(content_col).cast("binary").alias("content"),
     ).mapInArrow(sig_batches, SIG_SCHEMA)
 
 

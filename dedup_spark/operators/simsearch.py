@@ -4,9 +4,10 @@
   Pure JVM math: zip_with + aggregate, no Python. O(Q·N) dot products;
   fine when the query set is small or N fits a broadcast.
 - ``lsh_topk``: random-hyperplane (sign) LSH bucketing — the scale path:
-  candidates only within matching buckets (optionally multi-probe via
-  reduced-bit tables). Approximate; tested against the brute-force
-  baseline for recall.
+  candidates only within matching buckets, with multi-probe (Hamming-1
+  bucket flips on the query side) and/or multiple independent hash tables
+  for recall. Tested against the brute-force baseline (recall >= 0.9 at
+  k=5, tests/test_extras.py).
 """
 
 from __future__ import annotations
@@ -102,25 +103,56 @@ def hyperplane_signature(embeddings: DataFrame, n_bits: int = 16,
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int,
              n_bits: int = 12, dim: int = 64,
+             n_probes: int = 1, n_tables: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: candidates share the hyperplane bucket; exact
+    """Approximate top-k: candidates share a hyperplane bucket; exact
     cosine + rank within candidates. Scale path: the join is on bucket id
-    (equi-join, shuffle on a short key), never all-pairs."""
-    sig = hyperplane_signature(embeddings, n_bits, dim, 97, id_col, vec_col)
-    qsig = hyperplane_signature(queries, n_bits, dim, 97, id_col, vec_col)
-    cand = (
-        sig.alias("x")
-        .join(
-            F.broadcast(qsig.alias("q")), F.col("x.bucket") == F.col("q.bucket")
+    (equi-join, shuffle on a short key), never all-pairs.
+
+    Recall levers (single-probe single-table hyperplane LSH at realistic
+    n_bits misses neighbors that straddle one plane):
+
+    * ``n_probes`` — multi-probe (Lv et al., VLDB'07 style): each query
+      additionally probes the buckets at Hamming distance 1 from its own
+      (bit flips), up to ``n_probes`` buckets total. Costs query-side
+      replication only; the item table is scanned/bucketed once.
+    * ``n_tables`` — independent plane sets; a neighbor is found if ANY
+      table buckets it with the query. Costs one signature pass per table.
+    """
+    cands = None
+    for t in range(n_tables):
+        seed = 97 + 131 * t
+        sig = hyperplane_signature(embeddings, n_bits, dim, seed, id_col, vec_col)
+        qsig = hyperplane_signature(queries, n_bits, dim, seed, id_col, vec_col)
+        masks = [0] + [1 << i for i in range(n_bits)]
+        masks = masks[: max(1, min(n_probes, len(masks)))]
+        qprobe = qsig.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(
+                F.array(
+                    *[F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
+                      for m in masks]
+                )
+            ).alias("bucket"),
         )
-        .where(F.col(f"x.{id_col}") != F.col(f"q.{id_col}"))
-        .select(
-            F.col(f"q.{id_col}").alias("q_id"),
-            F.col(f"q.{vec_col}").cast("array<double>").alias("q_vec"),
-            F.col(f"x.{id_col}").alias("item_id"),
-            F.col(f"x.{vec_col}").cast("array<double>").alias("item_vec"),
+        c = (
+            sig.alias("x")
+            .join(
+                F.broadcast(qprobe.alias("q")),
+                F.col("x.bucket") == F.col("q.bucket"),
+            )
+            .where(F.col(f"x.{id_col}") != F.col(f"q.{id_col}"))
+            .select(
+                F.col(f"q.{id_col}").alias("q_id"),
+                F.col(f"q.{vec_col}").cast("array<double>").alias("q_vec"),
+                F.col(f"x.{id_col}").alias("item_id"),
+                F.col(f"x.{vec_col}").cast("array<double>").alias("item_vec"),
+            )
         )
-    )
+        cands = c if cands is None else cands.unionByName(c)
+    # a (query, item) pair can match through several probes/tables
+    cand = cands.dropDuplicates(["q_id", "item_id"])
     cos = _dot(F.col("q_vec"), F.col("item_vec")) / (
         _norm(F.col("q_vec")) * _norm(F.col("item_vec"))
     )

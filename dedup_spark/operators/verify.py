@@ -36,10 +36,10 @@ def shingle_sets(corpus: DataFrame, cfg: DedupConfig,
     def batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in it:
             ids = batch.column(0).to_pylist()
-            contents = batch.column(1).to_pylist()
+            contents = batch.column(1).to_pylist()  # binary → bytes
             o_id, o_sh = [], []
-            for fid, text in zip(ids, contents):
-                data = (text or "").encode("utf-8", "surrogatepass")
+            for fid, data in zip(ids, contents):
+                data = data or b""
                 x, _ = shingle_hashes(data, cfg)
                 u = np.unique(x)[:cfg.max_shingles]  # bottom-k sketch
                 o_id.append(fid)
@@ -51,7 +51,8 @@ def shingle_sets(corpus: DataFrame, cfg: DedupConfig,
             )
 
     return corpus.select(
-        F.col(id_col).alias("file_id"), F.col(content_col).alias("content")
+        F.col(id_col).alias("file_id"),
+        F.col(content_col).cast("binary").alias("content"),
     ).mapInArrow(batches, "file_id long, shingles array<long>")
 
 

@@ -51,27 +51,28 @@ class Checkpointer:
         df.write.mode("overwrite").parquet(path)
         wall_ms = int((time.time() - t0) * 1000)
         out = self.spark.read.parquet(path)
-        lineage = (
-            out.groupBy(F.input_file_name().alias("file"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        )
+        # per-file lineage from the parquet FOOTERS (driver-side metadata
+        # read) — the committed files are the ground truth and this costs
+        # no second Spark scan of the checkpoint
+        import pyarrow.parquet as pq
+
+        files = []
+        for name in sorted(os.listdir(path)):
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(path, name)
+            files.append(
+                {
+                    "file": name,
+                    "rows": int(pq.ParquetFile(fp).metadata.num_rows),
+                    "bytes": os.path.getsize(fp),
+                }
+            )
         meta = {
             "stage": stage,
             "wall_ms": wall_ms,
-            "rows": int(sum(r["rows"] for r in lineage)),
-            "files": [
-                {
-                    "file": os.path.basename(r["file"]),
-                    "rows": int(r["rows"]),
-                    "bytes": os.path.getsize(
-                        os.path.join(path, os.path.basename(r["file"]))
-                    ) if os.path.exists(
-                        os.path.join(path, os.path.basename(r["file"]))
-                    ) else None,
-                }
-                for r in lineage
-            ],
+            "rows": int(sum(f["rows"] for f in files)),
+            "files": files,
         }
         with open(os.path.join(self.workdir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(meta) + "\n")
@@ -113,33 +114,63 @@ def run_pipeline(
 
         return df.persist(StorageLevel.DISK_ONLY)
 
+    from .operators.groups import (
+        expand_group_edges, group_star_pairs, representative_ids, sketch_groups,
+    )
+
     # signatures carry the distinct shingle sets too — ONE corpus scan
     # feeds both LSH banding and exact-Jaccard verification.
     signatures = stage(
         "signatures",
         lambda: compute_signatures(corpus, cfg, content_col, id_col),
     )
-    shingles = signatures.select("file_id", "shingles")
-    pairs = stage("candidates", lambda: candidate_pairs(signatures, cfg))
+    # exact-sketch group contraction: LSH + verify run on one representative
+    # per identical-sketch group (operators/groups.py — the 100 TB lever
+    # against exact-copy-heavy corpora; candidate coverage and pair jaccard
+    # are provably unchanged).
+    groups = stage("groups", lambda: sketch_groups(signatures))
+    rep_sigs = signatures.join(representative_ids(groups), "file_id")
+    shingles = rep_sigs.select("file_id", "shingles")
+    pairs = stage("candidates", lambda: candidate_pairs(rep_sigs, cfg))
+    edges_rep = stage(
+        "edges", lambda: verify_pairs(pairs, rep_sigs, shingles, cfg)
+    )
 
-    def build_edges():
+    if cfg.min_lcs > 0:
+        # the LCS gate is byte-level, so sketch-identical members cannot
+        # inherit the representative's verdict: expand FIRST, gate every
+        # member pair (opt-in quadratic cost), and cluster on the gated set.
         from .operators.verify import apply_lcs_gate
 
-        e = verify_pairs(pairs, signatures, shingles, cfg)
-        return apply_lcs_gate(e, corpus, cfg, content_col, id_col)
+        edges_out = stage(
+            "edges_lcs",
+            lambda: apply_lcs_gate(
+                expand_group_edges(edges_rep, groups),
+                corpus, cfg, content_col, id_col,
+            ),
+        )
+        cluster_input = edges_out.where("verified")
+    else:
+        # lazy quadratic pair surface for audits; clustering uses the
+        # LINEAR compact set (group spanning stars + verified rep pairs) —
+        # identical components by construction.
+        edges_out = expand_group_edges(edges_rep, groups)
+        cluster_input = group_star_pairs(groups).unionByName(
+            edges_rep.where("verified").select("src", "dst")
+        )
 
-    edges = stage("edges", build_edges)
     clusters = stage(
         "clusters",
         lambda: cluster_assignments(
-            corpus.select(F.col(id_col).alias("file_id")),
-            edges.where("verified"),
+            corpus.select(F.col(id_col).alias("file_id")), cluster_input
         ),
     )
     return {
         "signatures": signatures,
+        "groups": groups,
         "shingles": shingles,
         "candidates": pairs,
-        "edges": edges,
+        "edges_rep": edges_rep,
+        "edges": edges_out,
         "clusters": clusters,
     }

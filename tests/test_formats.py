@@ -91,3 +91,36 @@ def test_roundtrip_property(data, mode):
     assert decode_format1(idx, dat) == data
     s = encode_format2(data, mode=mode, max_size=512, max_blocks=4)
     assert decode_format2(s) == data
+
+
+def test_fixed_writer_limit_reference_shape():
+    """Port of TestFixedWriterLimit (writer_test.go:69-120): 10 MiB with 50
+    dups injected in REVERSED order, maxMemory = 9 blocks. The quartile-cut
+    index eviction (writer.go:510-527) must bound both dedup hits
+    (removed in [8,10]) and decoder MaxMem (<= 9 blocks)."""
+    import random
+
+    from dedup_spark.formats import format1_max_mem
+
+    rng = random.Random(0)
+    size, block, limit = 10 << 20, 64 << 10, 9
+    b = bytearray(rng.randrange(255) for _ in range(size))
+    for i in range(50):
+        src = b[(i % 10) * block:(i % 10 + 1) * block]
+        b[(10 + 50 - i) * block:(10 + 50 - i + 1) * block] = src
+    idx, dat = encode_format1(
+        bytes(b), mode="fixed", max_size=block, max_memory=limit * block
+    )
+    removed = (size - len(dat)) // block
+    assert 8 <= removed <= 10, removed
+    assert format1_max_mem(idx) // block <= limit
+    # bounded-memory archives must still round-trip byte-exact
+    assert decode_format1(idx, dat) == bytes(b)
+
+
+def test_unbounded_memory_unchanged():
+    """max_memory=0 (default) must not change existing archives."""
+    data = bytes(bytearray(range(256)) * 64) * 3
+    assert encode_format1(data, max_size=512) == encode_format1(
+        data, max_size=512, max_memory=0
+    )

@@ -89,17 +89,37 @@ def test_ground_truth_sanity(corpus, result, oracle):
 
 
 def test_skew_guard_metrics(spark, corpus):
-    """Hot band buckets above the cap are dropped WITH metrics, and the
-    pipeline still returns (no silent failure on a pathological corpus)."""
+    """Hot band buckets above the salt ceiling are dropped WITH metrics, and
+    the pipeline still returns (no silent failure on a pathological corpus)."""
     from dedup_spark.operators.lsh import candidate_pairs
     from dedup_spark.operators.signatures import compute_signatures
 
-    tiny = DedupConfig(max_bucket=4)
+    tiny = DedupConfig(max_bucket=4, salt=1)  # salt=1 → drop above max_bucket
     sigs = compute_signatures(corpus, tiny)
     pairs, metrics = candidate_pairs(sigs, tiny, return_metrics=True)
     m = metrics.collect()[0]
     assert m["dropped_buckets"] > 0  # the giant injected cluster trips the cap
     assert pairs.count() >= 0
+
+
+def test_salted_pairs_recall_neutral(spark, corpus):
+    """Salted block pair-gen over oversize buckets must produce EXACTLY the
+    pairs a direct (uncapped) pair-gen would — salting redistributes the
+    quadratic work, it never loses a pair (VERDICT round-1 item 5)."""
+    from dedup_spark.operators.lsh import candidate_pairs
+    from dedup_spark.operators.signatures import compute_signatures
+
+    sigs = compute_signatures(corpus, CFG).cache()
+    # max_bucket=4 forces nearly every real bucket through the salted path
+    salted_cfg = DedupConfig(max_bucket=4, salt=1_000_000)
+    uncapped = DedupConfig(max_bucket=1_000_000, salt=1)
+    got = {(r["src"], r["dst"])
+           for r in candidate_pairs(sigs, salted_cfg).collect()}
+    want = {(r["src"], r["dst"])
+            for r in candidate_pairs(sigs, uncapped).collect()}
+    assert got == want
+    assert len(want) > 100
+    sigs.unpersist()
 
 
 def test_resume_skips_stages(spark, corpus, tmp_path_factory):
