@@ -1,13 +1,20 @@
 """Scaling-efficiency measurement (north_rule protocol; sandbox adaptation
 per driver instruction: same job at N and 4N cores on identical input).
 
-Round-1 findings baked into the protocol (see BENCH/BASELINE.md §4):
+Round-1/2 findings baked into the protocol (see BENCH/BASELINE.md §4):
 - uniform file sizes (stragglers otherwise dominate the top config),
 - fresh JVM per measurement, AQE off, identical shuffle partitioning,
 - N=2 vs 4N=8 — this VM's single-JVM local mode thrashes beyond ~16
   concurrent heavy tasks (JVM Arrow-feed threads compete with Python
   workers for the same cores), which a real multi-executor cluster does
   not share; kernel-level scaling is measured separately.
+- **CPU pinning (round 2)**: each measurement runs under
+  ``taskset -c 0..N-1`` so the JVM, its Arrow feed threads, AND the
+  Python UDF workers share exactly N cores — precisely what a cluster
+  container cgroup with N executor cores enforces. Without pinning,
+  local[N] silently borrows extra cores for Python workers (~2.5 cores
+  observed at local[2]), understating the low-parallelism wall and
+  corrupting the N→4N ratio.
 
 Writes BENCH/scaling_runs.json; prints a JSON summary line.
 """
@@ -53,7 +60,7 @@ from dedup_spark.session import _local_dir, package_zip
 from dedup_spark.config import DedupConfig
 from dedup_spark.pipeline import run_pipeline
 spark = (SparkSession.builder.appName("scale").master(f"local[{cores}]")
-     .config("spark.sql.shuffle.partitions", "64")
+     .config("spark.sql.shuffle.partitions", "32")
      .config("spark.driver.memory", "16g")
      .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
      .config("spark.local.dir", _local_dir())
@@ -69,7 +76,9 @@ n = corpus.count()
 t0 = time.time()
 res = run_pipeline(corpus, DedupConfig())
 nc = res["clusters"].select("cluster_id").distinct().count()
-ne = res["edges"].where("verified").count()
+# deliverables are cluster assignments + the COMPACT verified edge set
+# (representative-level); the quadratic expanded pair surface stays lazy
+ne = res["edges_rep"].where("verified").count()
 wall = time.time() - t0
 print(json.dumps({"cores": cores, "wall": round(wall, 1),
                   "files_per_sec": round(n / wall, 1),
@@ -81,7 +90,7 @@ spark.stop()
 def main():
     n_files = int(os.environ.get("SCALE_N_FILES", "40000"))
     target = int(os.environ.get("SCALE_FILE_CHARS", "125000"))
-    reps = int(os.environ.get("SCALE_REPS", "2"))
+    reps = int(os.environ.get("SCALE_REPS", "3"))
     lo, hi = (int(x) for x in os.environ.get("SCALE_CORES", "2,8").split(","))
 
     if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
@@ -95,7 +104,8 @@ def main():
     for rep in range(reps):
         for cores in (lo, hi):
             out = subprocess.run(
-                [sys.executable, "-c", CHILD.replace("__REPO__", REPO),
+                ["taskset", "-c", f"0-{cores - 1}",
+                 sys.executable, "-c", CHILD.replace("__REPO__", REPO),
                  str(cores), CORPUS],
                 capture_output=True, text=True, timeout=1200,
             )
