@@ -48,10 +48,10 @@ def chunk_and_hash(
     def chunk_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             ids = batch.column(0).to_pylist()
-            contents = batch.column(1).to_pylist()
+            contents = batch.column(1).to_pylist()  # binary → bytes
             out_fid, out_seq, out_off, out_len, out_hash = [], [], [], [], []
-            for fid, text in zip(ids, contents):
-                data = (text or "").encode("utf-8", "surrogatepass")
+            for fid, data in zip(ids, contents):
+                data = data or b""
                 for seq, (off, length) in enumerate(fn(data, max_size)):
                     out_fid.append(fid)
                     out_seq.append(seq)
@@ -71,9 +71,12 @@ def chunk_and_hash(
                 names=["file_id", "seq", "offset", "length", "hash"],
             )
 
-    # Column pruning: ship only (id, content) through Arrow.
+    # Column pruning: ship only (id, content) through Arrow; string→binary
+    # is a zero-copy reinterpretation JVM-side and saves the Arrow utf-8
+    # decode + Python re-encode of every byte of the corpus.
     return corpus.select(
-        F.col(id_col).alias("file_id"), F.col(content_col).alias("content")
+        F.col(id_col).alias("file_id"),
+        F.col(content_col).cast("binary").alias("content"),
     ).mapInArrow(chunk_batches, CHUNK_SCHEMA)
 
 

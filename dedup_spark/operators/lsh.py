@@ -124,12 +124,15 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
         .otherwise(F.lit("r"))
         .alias("side"),
     )
+    # no sort_array: pair canonicalization is least/greatest inside the
+    # pair expressions, and the trailing distinct dedupes — list order is
+    # irrelevant (and sorting every bucket was measurable CPU)
     groups = tasked.groupBy("band_id", "band_hash", "bi", "bj").agg(
-        F.sort_array(
-            F.collect_list(F.when(F.col("side") != "r", F.col("file_id")))
+        F.collect_list(
+            F.when(F.col("side") != "r", F.col("file_id"))
         ).alias("ids"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("side") == "r", F.col("file_id")))
+        F.collect_list(
+            F.when(F.col("side") == "r", F.col("file_id"))
         ).alias("ids_r"),
     )
     pairs = (

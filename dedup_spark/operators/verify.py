@@ -64,17 +64,16 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
     """
     # one join per pair side: simhash and the shingle set ride together —
     # they come from the same signature row, and two separate joins per
-    # side would double the exchanges for no benefit.
+    # side would double the exchanges for no benefit. The kernel emits
+    # shingle sketches via np.unique (sorted + distinct already), so no
+    # array_distinct pass is needed here.
     if "shingles" in signatures.columns:
         side = signatures.select(
-            "file_id", "simhash",
-            F.array_distinct("shingles").alias("shingle_set"),
+            "file_id", "simhash", F.col("shingles").alias("shingle_set")
         )
     else:
         side = signatures.select("file_id", "simhash").join(
-            shingles.select(
-                "file_id", F.array_distinct("shingles").alias("shingle_set")
-            ),
+            shingles.select("file_id", F.col("shingles").alias("shingle_set")),
             "file_id",
         )
     e = (

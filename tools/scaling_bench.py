@@ -61,8 +61,14 @@ from dedup_spark.config import DedupConfig
 from dedup_spark.pipeline import run_pipeline
 spark = (SparkSession.builder.appName("scale").master(f"local[{cores}]")
      .config("spark.sql.shuffle.partitions", "32")
-     .config("spark.driver.memory", "16g")
-     .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+     # 48g + small fixed young gen: at 8 concurrent tasks a 16 MB compressed
+     # split decompresses to ~240 MB of strings in flight per task; 16g heap
+     # GC-thrashed at the 30 GB corpus (A/B: 210.8s @16g vs 145.9s @48g,
+     # local[8]), while an auto-sized young gen over 48g stalled the 2-core
+     # run (415s vs 355s). -Xmn2g gives both: big old gen, short minor
+    # pauses. Identical config at both parallelism levels.
+     .config("spark.driver.memory", "48g")
+     .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC -Xmn2g")
      .config("spark.local.dir", _local_dir())
      .config("spark.sql.execution.arrow.maxBytesPerBatch", str(2 << 20))
      .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
