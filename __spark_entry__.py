@@ -258,12 +258,16 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical (a*h+b) mod 2^31-1 arithmetic in Spark and DuckDB."""
     a, b = _coeffs16()
     d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+    # array_distinct already dedupes within each doc; no row-level
+    # .distinct() — MIN over a multiset equals MIN over the set, so the
+    # extra full shuffle the DuckDB twin's DISTINCT implies is unnecessary
+    # here (the twin keeps it for the shared tokens CTE).
     toks = d.select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(F.trim("text"), r"\s+"))
         ).alias("tok"),
-    ).distinct()
+    )
     h = _tok_hash_spark(F.col("tok"))
     aggs = [
         F.min((F.lit(a[i]) * h + F.lit(b[i])) % _P31).alias(f"mh{i}")
@@ -291,14 +295,25 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 LSH banding at document granularity (4 bands × r=4 over K=16):
     candidate pairs sharing any band value.
 
-    Plan (mirrors operators/lsh.py): ONE pass over the signature subplan —
-    all 4 band values built as an array and exploded, then pairs generated
-    within each (band_id, band_val) bucket from a sorted posting list. One
-    shuffle; no self-join; the signature subplan is evaluated once instead
-    of 4x. Buckets above ``_MAX_BAND_BUCKET`` are dropped (logged via the
-    n_dropped side — none at driver SFs, so output is byte-identical to the
-    SQL twin's full self-join)."""
+    Plan (mirrors operators/lsh.py + operators/groups.py): docs with an
+    IDENTICAL 16-value signature share every band bucket, so they collapse
+    to one representative (min doc_id) before banding; rep-level bucket
+    pairs expand back through the membership afterwards — provably the
+    same pair set as the SQL twin's full self-join, but pair generation is
+    no longer quadratic in exact-dup cluster sizes. One band explode pass;
+    no self-join; buckets above ``_MAX_BAND_BUCKET`` are dropped (none at
+    driver SFs)."""
     sig = q_minhash_signatures(spark, sf_dir)
+    gid = F.md5(
+        F.concat_ws("-", *[F.col(f"mh{i}").cast("string") for i in range(_K16)])
+    )
+    keyed = sig.select("doc_id", gid.alias("gid"), *[f"mh{i}" for i in range(_K16)])
+    w = Window.partitionBy("gid")
+    members = keyed.select(
+        "doc_id", "gid", F.min("doc_id").over(w).alias("rep"),
+        *[f"mh{i}" for i in range(_K16)],
+    )
+    reps = members.where(F.col("doc_id") == F.col("rep"))
     band_arr = F.array(
         *[
             F.struct(
@@ -316,25 +331,47 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(4)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
+    bands = reps.select("doc_id", F.explode(band_arr).alias("b")).select(
         "doc_id", "b.band_id", "b.band_val"
     )
     buckets = (
         bands.groupBy("band_id", "band_val")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.collect_list("doc_id").alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= _MAX_BAND_BUCKET))
     )
-    pairs = F.expr(
+    pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "y -> struct(x AS src, y AS dst))))"
+        "y -> struct(least(x, y) AS src, greatest(x, y) AS dst))))"
     )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
+    rep_pairs = (
+        buckets.select(F.explode(pair_expr).alias("p"))
         .select("p.src", "p.dst")
         .distinct()
-        .orderBy("src", "dst")
     )
+    mem = members.select("rep", "doc_id")
+    cross = (
+        rep_pairs
+        .join(mem.withColumnsRenamed({"rep": "src", "doc_id": "a"}), "src")
+        .join(mem.withColumnsRenamed({"rep": "dst", "doc_id": "b"}), "dst")
+        .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+    )
+    within = (
+        members.groupBy("gid")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+    )
+    return cross.unionAll(within).orderBy("src", "dst")
 
 
 def _minhash_band_sql() -> str:
