@@ -40,6 +40,11 @@ def main():
     # --- headline: end-to-end near-dup pipeline on synthetic corpus ---
     corpus = corpus_df(spark, N_FILES, seed=42, partitions=cpus * 2).cache()
     n_corpus = corpus.count()  # materialize cache before timing
+    # one small untimed pipeline pass first: JVM JIT + Python worker
+    # startup + code shipping cost ~6 s once per session (measured), which
+    # a long-running production job amortizes to zero — the steady-state
+    # number is the representative files/sec.
+    run_pipeline(corpus.limit(300), DedupConfig())["clusters"].count()
     t0 = time.time()
     res = run_pipeline(corpus, DedupConfig())
     n_clusters = res["clusters"].select("cluster_id").distinct().count()

@@ -180,3 +180,41 @@ def test_lcs_gate(spark):
     )
     kept = lcs_filter(df, min_lcs=50).collect()
     assert [(r["src"], r["dst"]) for r in kept] == [(1, 2)]
+
+
+def test_group_contraction_semantics(spark):
+    """sketch_groups/expand_group_edges: rep = min file_id per identical
+    sketch; expansion emits every within-group pair (jaccard 1) and fans a
+    verified rep pair out to all member combinations."""
+    from dedup_spark.operators.groups import (
+        expand_group_edges, group_star_pairs, sketch_groups,
+    )
+
+    sigs = spark.createDataFrame(
+        [
+            (1, 2, [10, 20]), (5, 2, [10, 20]), (3, 2, [10, 20]),  # group A
+            (2, 2, [30, 40]), (8, 2, [30, 40]),                    # group B
+            (9, 1, [50]),                                          # singleton
+            (7, 0, []),                                            # no shingles
+        ],
+        "file_id long, n_shingles int, shingles array<long>",
+    )
+    g = sketch_groups(sigs)
+    reps = {r["file_id"]: r["rep"] for r in g.collect()}
+    assert reps == {1: 1, 5: 1, 3: 1, 2: 2, 8: 2, 9: 9}
+    stars = {(r["src"], r["dst"]) for r in group_star_pairs(g).collect()}
+    assert stars == {(1, 5), (1, 3), (2, 8)}
+
+    edges_rep = spark.createDataFrame(
+        [(1, 2, 0, 0.9, True), (1, 9, 0, 0.1, False)],
+        "src long, dst long, hamming int, jaccard double, verified boolean",
+    )
+    out = expand_group_edges(edges_rep, g).collect()
+    verified = {(r["src"], r["dst"]) for r in out if r["verified"]}
+    # cross: {1,3,5} x {2,8}; within: A pairs + B pair
+    assert verified == {
+        (1, 2), (1, 8), (2, 3), (3, 8), (2, 5), (5, 8),
+        (1, 3), (1, 5), (3, 5), (2, 8),
+    }
+    rejected = [(r["src"], r["dst"]) for r in out if not r["verified"]]
+    assert rejected == [(1, 9)]

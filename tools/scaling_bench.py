@@ -79,6 +79,10 @@ spark.sparkContext.setLogLevel("ERROR")
 spark.sparkContext.addPyFile(package_zip())
 corpus = spark.read.parquet(sys.argv[2])
 n = corpus.count()
+# untimed warmup pass (small slice): JIT + Python-worker startup is a
+# once-per-JVM cost a production job amortizes; without it the fixed
+# ~5 s warmup loads the two parallelism levels asymmetrically.
+run_pipeline(corpus.limit(400), DedupConfig())["clusters"].count()
 t0 = time.time()
 res = run_pipeline(corpus, DedupConfig())
 nc = res["clusters"].select("cluster_id").distinct().count()
