@@ -52,13 +52,14 @@ def chunk_and_hash(
             out_fid, out_seq, out_off, out_len, out_hash = [], [], [], [], []
             for fid, data in zip(ids, contents):
                 data = data or b""
+                mv = memoryview(data)  # no per-chunk bytes copy
                 for seq, (off, length) in enumerate(fn(data, max_size)):
                     out_fid.append(fid)
                     out_seq.append(seq)
                     out_off.append(off)
                     out_len.append(length)
                     out_hash.append(
-                        hashlib.new(hash_name, data[off:off + length]).digest()
+                        hashlib.new(hash_name, mv[off:off + length]).digest()
                     )
             yield pa.RecordBatch.from_arrays(
                 [

@@ -72,8 +72,9 @@ def shingle_hashes(data: bytes, cfg: DedupConfig) -> np.ndarray:
     ``_mix_wgrams`` over the first 8 bytes of each chunk digest.
     """
     fn = chunk_fn(cfg.mode)
+    mv = memoryview(data)  # no per-chunk bytes copy on the hash input
     digests = [
-        hashlib.new(cfg.hash_name, data[off:off + ln]).digest()
+        hashlib.new(cfg.hash_name, mv[off:off + ln]).digest()
         for off, ln in fn(data, cfg.max_size)
     ]
     n = len(digests)
@@ -130,14 +131,14 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig,
                 o_id.append(fid)
                 o_nc.append(n_chunks)
                 o_ns.append(int(x.size))
-                o_mh.append([int(v) for v in mh])
+                o_mh.append(mh.tolist())
                 o_sh.append(sim)
                 # bottom-k sketch of the distinct shingles (np.unique is
                 # sorted, so the first k ARE the k smallest) — the exact-
                 # Jaccard verify set; emitted here so the corpus is
                 # scanned ONCE
                 u = np.unique(x)[:cfg.max_shingles]
-                o_sg.append([int(v) for v in u.astype(np.int64)])
+                o_sg.append(u.astype(np.int64).tolist())
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(o_id, pa.int64()),

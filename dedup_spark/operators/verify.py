@@ -43,7 +43,7 @@ def shingle_sets(corpus: DataFrame, cfg: DedupConfig,
                 x, _ = shingle_hashes(data, cfg)
                 u = np.unique(x)[:cfg.max_shingles]  # bottom-k sketch
                 o_id.append(fid)
-                o_sh.append([int(v) for v in u.astype(np.int64)])
+                o_sh.append(u.astype(np.int64).tolist())
             yield pa.RecordBatch.from_arrays(
                 [pa.array(o_id, pa.int64()),
                  pa.array(o_sh, pa.list_(pa.int64()))],

@@ -87,7 +87,20 @@ def run_pipeline(
     content_col: str = "content",
     id_col: str = "file_id",
 ) -> dict[str, DataFrame]:
-    """Run (or resume) the full near-dup pipeline; returns all stage frames."""
+    """Run (or resume) the full near-dup pipeline.
+
+    Returned frames:
+      signatures   per-file MinHash/SimHash/shingle-sketch rows
+      groups       exact-sketch group membership (file_id → rep)
+      candidates   representative-level LSH candidate pairs
+      edges_rep    representative-level verified/rejected edges (COMPACT —
+                   the artifact to persist at corpus scale)
+      edges        member-level pair surface: within-group pairs (jaccard
+                   1) + verified rep pairs fanned out through membership —
+                   lazy and quadratic in group sizes; collect/materialize
+                   only for pair-level audits (the recall gate)
+      clusters     (file_id, cluster_id) for every corpus row
+    """
     from .operators.cluster import cluster_assignments
     from .operators.lsh import candidate_pairs
     from .operators.signatures import compute_signatures

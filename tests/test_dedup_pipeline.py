@@ -192,3 +192,29 @@ def test_fixed_relational_offsets_are_chars(spark):
     )
     rows = fixed_chunks_relational(df, 1024).orderBy("seq").collect()
     assert [(r["seq"], r["length"]) for r in rows] == [(0, 1024), (1, 1024)]
+
+
+def test_signature_scan_column_pruning(spark, tmp_path):
+    """Column pruning must reach the parquet ReadSchema through the
+    binary cast: the signature stage ships ONLY (file_id, content) to the
+    UDF even when the corpus table carries many more columns."""
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.operators.signatures import compute_signatures
+
+    spark.createDataFrame(
+        [(1, "r", "p", "c", "en", "hello world", "sha")],
+        "file_id long, repo string, path string, commit string, "
+        "lang string, content string, content_sha256 string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/corpus")
+    corpus = spark.read.parquet(f"{tmp_path}/corpus")
+    plan = (
+        compute_signatures(corpus, DedupConfig())
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    for l in scan_lines:
+        schema = l.split("ReadSchema:")[1]
+        assert "content" in schema and "file_id" in schema
+        for col in ("repo", "path", "commit", "lang", "content_sha256"):
+            assert col not in schema, f"unpruned column {col}: {schema}"
