@@ -549,6 +549,50 @@ WHERE round(n_common / (sx.n + sy.n - n_common), 6) >= 0.3
 """
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected components (operators/cluster.py — the
+    pipeline's clustering stage) over the exact n-gram-Jaccard near-dup
+    edge set; label = min member doc_id. Oracle: DuckDB recursive-CTE
+    transitive closure over the same edges."""
+    from dedup_spark.operators.cluster import connected_components
+
+    edges = q_ngram_jaccard_pairs(spark, sf_dir).select("src", "dst")
+    return (
+        connected_components(edges)
+        .select(F.col("file_id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+_CC_SQL = _NGRAM_SQL.replace(
+    "WITH grams0 AS", "WITH RECURSIVE grams0 AS", 1
+).replace(
+    """SELECT src, dst, n_common,
+       round(n_common / (sx.n + sy.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sx ON sx.doc_id = src
+JOIN sizes sy ON sy.doc_id = dst
+WHERE round(n_common / (sx.n + sy.n - n_common), 6) >= 0.3
+""",
+    """, e AS (
+    SELECT src, dst FROM inter
+    JOIN sizes sx ON sx.doc_id = src
+    JOIN sizes sy ON sy.doc_id = dst
+    WHERE round(n_common / (sx.n + sy.n - n_common), 6) >= 0.3
+), verts AS (
+    SELECT src AS v FROM e UNION SELECT dst FROM e
+), sym AS (
+    SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e
+), reach AS (
+    SELECT v, v AS r FROM verts
+    UNION
+    SELECT reach.v, sym.v AS r FROM reach JOIN sym ON sym.u = reach.r
+)
+SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v ORDER BY doc_id
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------
@@ -578,6 +622,62 @@ WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id
   AND round(list_cosine_similarity(q.embedding::DOUBLE[],
                                    x.embedding::DOUBLE[]), 4) >= 0.3
 ORDER BY q_id, item_id
+"""
+
+
+_ANN_BITS = 8
+_ANN_PROBES = 9  # own bucket + all 8 Hamming-1 flips
+
+
+def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (the scale path, operators/simsearch.lsh_topk)
+    with multi-probe: approximate top-5 per query from bucketed candidates
+    only. The DuckDB twin embeds the identical plane literals and probe
+    masks, so the candidate sets — and therefore results — match exactly."""
+    from dedup_spark.operators.simsearch import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        lsh_topk(
+            emb, emb.where("vec_id < 10"), k=5,
+            n_bits=_ANN_BITS, dim=64, n_probes=_ANN_PROBES, n_tables=1,
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+def _ann_sql() -> str:
+    import random
+
+    rng = random.Random(97)  # same stream as hyperplane_signature(seed=97)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(_ANN_BITS)]
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(v) for v in plane)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    probes = ", ".join(
+        f"xor(q.bucket, {m})" for m in [0] + [1 << i for i in range(_ANN_BITS)]
+    )
+    return f"""
+WITH sig AS (
+    SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), cand AS (
+    SELECT q.vec_id AS q_id, x.vec_id AS item_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        x.embedding::DOUBLE[]), 6) AS cosine
+    FROM sig q JOIN sig x
+      ON x.bucket IN ({probes})
+    WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id
+), ranked AS (
+    SELECT q_id, item_id, cosine,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cosine DESC, item_id) AS rank
+    FROM cand
+)
+SELECT q_id, item_id, cosine, rank FROM ranked
+WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 
@@ -890,8 +990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_candidates": q_minhash_band_candidates,
         "simhash_docs": q_simhash_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "neardup_components": q_neardup_components,
         "embedding_neighbors": q_embedding_neighbors,
         "embedding_topk": q_embedding_topk,
+        "embedding_ann": q_embedding_ann,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "user_event_windows": q_user_event_windows,
@@ -1079,8 +1181,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_candidates": _minhash_band_sql(),
         "simhash_docs": _simhash_sql(),
         "ngram_jaccard_pairs": _NGRAM_SQL,
+        "neardup_components": _CC_SQL,
         "embedding_neighbors": _EMB_SQL,
         "embedding_topk": _EMB_TOPK_SQL,
+        "embedding_ann": _ann_sql(),
         "pricing_summary": _PRICING_SQL,
         "top_customers": _TOP_CUST_SQL,
         "user_event_windows": _EVENT_WINDOW_SQL,
