@@ -56,8 +56,19 @@ def incremental_update(new_corpus: DataFrame, state_dir: str,
         all_sigs = new_sigs
 
     # band join: buckets of ALL signatures, but keep only buckets touched
-    # by a new file; pair (new x all) within bucket.
+    # by a new file; pair (new x all) within bucket. Same skew guard as the
+    # batch path (operators/lsh.py): buckets whose CUMULATIVE size exceeds
+    # max_bucket * salt are excluded — a boilerplate mega-bucket would
+    # otherwise make every future batch quadratic in corpus size.
+    salt_cap = cfg.max_bucket * max(1, cfg.salt)
     all_b = band_buckets(all_sigs, cfg)
+    sizes = all_b.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_size")
+    )
+    all_b = all_b.join(
+        sizes.where(F.col("bucket_size") <= salt_cap).drop("bucket_size"),
+        ["band_id", "band_hash"],
+    )
     new_b = band_buckets(new_sigs, cfg).select(
         "band_id", "band_hash", F.col("file_id").alias("new_id")
     )
