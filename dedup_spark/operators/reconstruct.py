@@ -19,23 +19,33 @@ def reconstruct(manifest: DataFrame, unique: DataFrame) -> DataFrame:
 
     Files with zero chunks (empty content) are absent — callers union the
     empty-file set back in or left-join against the corpus ids.
+
+    Reassembly is a linear ``b"".join`` per file group (applyInPandas):
+    a fold of JVM ``concat(acc, chunk)`` calls would copy the accumulator
+    at every step — O(file_bytes² / chunk_size) write amplification, a
+    100 TB-killer on multi-MB files. Payloads are byte slices (a chunk
+    boundary may split a multibyte character), so the join happens on
+    bytes and decodes to string once at the end.
     """
+    import pandas as pd
+
+    def assemble(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("seq")
+        return pd.DataFrame(
+            {
+                "file_id": [int(pdf["file_id"].iloc[0])],
+                "content_bin": [b"".join(bytes(p) for p in pdf["payload"])],
+            }
+        )
+
     return (
         manifest.select("file_id", "seq", "hash")
         .join(unique, "hash")
+        .select("file_id", "seq", "payload")
         .groupBy("file_id")
-        .agg(
-            # payloads are byte slices (a chunk boundary may split a
-            # multibyte character), so reassembly concatenates BINARY and
-            # decodes to string once at the end
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seq", "payload"))),
-                    lambda s: s["payload"],
-                ),
-                F.lit(b""),
-                lambda acc, x: F.concat(acc, x),
-            ).cast("string").alias("content")
+        .applyInPandas(assemble, "file_id long, content_bin binary")
+        .select(
+            "file_id", F.col("content_bin").cast("string").alias("content")
         )
     )
 
