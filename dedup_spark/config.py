@@ -21,7 +21,13 @@ class DedupConfig:
 
     # signatures
     shingle_w: int = 3             # chunk-hash w-grams
-    num_perm: int = 128            # MinHash permutations (K)
+    num_perm: int = 64             # MinHash permutations (K). Sized to what
+                                   # banding consumes (bands*band_rows):
+                                   # permutations beyond that are pure dead
+                                   # weight — kernel CPU + 8 bytes/row/perm
+                                   # of shuffle+checkpoint — since the exact
+                                   # verify stage uses shingle sketches, not
+                                   # minhash agreement.
     seed: int = 1315423911         # coefficient seed
 
     # LSH

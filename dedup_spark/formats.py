@@ -140,13 +140,16 @@ def decode_format1(index: bytes, data: bytes) -> bytes:
             block = dat.read(size)
             if len(block) != size:
                 raise ValueError("data stream truncated")
-            if block:
-                blocks.append(block)
-                out.write(block)
             if offset == MAX_U64:
+                out.write(block)
                 if read_uvarint(idx) != 0:
                     raise ValueError("bad stream terminator")
                 return out.getvalue()
+            # every non-EOS new record occupies a backref position, even a
+            # zero-length one — the reference reader appends an rblock
+            # unconditionally (reader.go:195), so later offsets count it
+            blocks.append(block)
+            out.write(block)
         else:
             src = len(blocks) - offset
             if src < 0:
@@ -243,13 +246,15 @@ def decode_format2(stream: bytes) -> bytes:
             block = s.read(size)
             if len(block) != size:
                 raise ValueError("stream truncated")
-            if block:
-                blocks.append(block)
-                out.write(block)
             if offset == MAX_U64:
+                out.write(block)
                 if read_uvarint(s) != 0:
                     raise ValueError("bad stream terminator")
                 return out.getvalue()
+            # non-EOS records occupy a backref position even at size 0
+            # (position parity with the reference reader, reader.go:440ff)
+            blocks.append(block)
+            out.write(block)
         else:
             if offset > max_len:
                 raise ValueError("backreference exceeds MaxLength")

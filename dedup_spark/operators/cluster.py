@@ -87,7 +87,12 @@ def _finalize_on_driver(e: DataFrame, mapping: DataFrame) -> DataFrame:
 
 
 def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
-    canon = _canon(edges)
+    from pyspark import StorageLevel
+
+    # persist BEFORE the probe: on the big-graph branch the probe's partial
+    # compute is reused by the localCheckpoint instead of re-deriving the
+    # whole canon lineage (which may be an expensive pair-gen pipeline)
+    canon = _canon(edges).persist(StorageLevel.DISK_ONLY)
     # Fast path: small graphs skip the distributed rounds entirely — ONE
     # limit-guarded collect (no separate count job), union-find on the
     # driver, one createDataFrame back. The limit probe is the size test:
@@ -96,6 +101,7 @@ def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
     if len(probe) <= DRIVER_FINALIZE_EDGES:
         from ..oracle import UnionFind, oracle_clusters
 
+        canon.unpersist()
         uf = UnionFind()
         pairs = [(r[0], r[1]) for r in probe]
         for u, v in pairs:
@@ -107,6 +113,7 @@ def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
         )
 
     e = canon.repartition(n_partitions).localCheckpoint(eager=True)
+    canon.unpersist()
     mapping = (
         e.select(F.col("u").alias("vertex"))
         .unionAll(e.select(F.col("v").alias("vertex")))

@@ -14,12 +14,16 @@ only where the user explicitly asks for the materialized pair list
 (``expand_group_edges``); candidate generation, verification, and
 clustering all run on group representatives.
 
-Correctness: sketch equality ⇒ identical MinHash ⇒ identical band
+Correctness: the group key covers the FULL signature row — shingle
+sketch, MinHash vector, and SimHash. (Sketch equality alone does NOT
+imply MinHash equality once a file has more than ``max_shingles``
+distinct shingles, since MinHash is computed over the full shingle
+stream.) With the full-signature key: identical MinHash ⇒ identical band
 buckets, so representative-level candidate coverage equals member-level
-coverage; and for any members a∈A, b∈B, jaccard(a,b) = jaccard(rep_A,
-rep_B) exactly (the verify metric is a function of the sketch alone).
-Group keys are two independent 64-bit hashes of the sketch array (128
-bits total) so key collisions are negligible even at 10^12 files.
+coverage exactly; jaccard(a,b) = jaccard(rep_A, rep_B) exactly (the
+verify metric is a function of the sketch alone); and within-group pairs
+genuinely have hamming 0. Group keys are two independent 64-bit hashes
+(128 bits total) so key collisions are negligible even at 10^12 files.
 """
 
 from __future__ import annotations
@@ -27,21 +31,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_PAIRS_IN_LIST = (
-    "flatten(transform(ids, (x, i) -> "
-    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-    "y -> struct(x AS src, y AS dst))))"
-)
+from .lsh import _PAIRS_IN_LIST  # shared pair-enumeration expression
 
 
 def sketch_groups(signatures: DataFrame) -> DataFrame:
     """(file_id, g1, g2, rep, group_size): rep = min file_id among files
-    with an identical shingle sketch. Files with no shingles are excluded
-    (they never participate in matching)."""
+    with an identical full signature (sketch + minhash + simhash). Files
+    with no shingles are excluded (they never participate in matching)."""
     keyed = signatures.where(F.col("n_shingles") > 0).select(
         "file_id",
-        F.xxhash64("shingles").alias("g1"),
-        F.xxhash64(F.lit(1), F.col("shingles")).alias("g2"),
+        F.xxhash64("shingles", "minhash", "simhash").alias("g1"),
+        F.xxhash64(F.lit(1), "shingles", "minhash", "simhash").alias("g2"),
     )
     # window (not groupBy + join-back): ONE scan of the signature frame and
     # ONE exchange on the 128-bit group key
@@ -74,7 +74,7 @@ def within_group_pairs(groups: DataFrame) -> DataFrame:
     members = (
         groups.where(F.col("group_size") > 1)
         .groupBy("g1", "g2")
-        .agg(F.sort_array(F.collect_list("file_id")).alias("ids"))
+        .agg(F.collect_list("file_id").alias("ids"))
     )
     return (
         members.select(F.explode(F.expr(_PAIRS_IN_LIST)).alias("p"))

@@ -98,7 +98,8 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     max_b = cfg.max_bucket
     salt_cap = max_b * max(1, cfg.salt)
     w = Window.partitionBy("band_id", "band_hash")
-    counted = buckets.withColumn("bucket_size", F.count("*").over(w)).where(
+    counted_all = buckets.withColumn("bucket_size", F.count("*").over(w))
+    counted = counted_all.where(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= salt_cap)
     )
 
@@ -147,10 +148,17 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     )
     if not return_metrics:
         return pairs
-    sizes = bucket_stats(buckets)
-    dropped = sizes.where(F.col("bucket_size") > salt_cap).agg(
-        F.count("*").alias("dropped_buckets"),
-        F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("dropped_rows"),
-        F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
+    # metrics share the SAME window pass as pair generation (the band
+    # exchange is reused — no second explode/shuffle of the signature
+    # frame just to count drops)
+    dropped = (
+        counted_all.where(F.col("bucket_size") > salt_cap)
+        .groupBy("band_id", "band_hash")
+        .agg(F.first("bucket_size").alias("bucket_size"))
+        .agg(
+            F.count("*").alias("dropped_buckets"),
+            F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("dropped_rows"),
+            F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
+        )
     )
     return pairs, dropped

@@ -145,8 +145,12 @@ def run_pipeline(
     rep_sigs = signatures.join(representative_ids(groups), "file_id")
     shingles = rep_sigs.select("file_id", "shingles")
     pairs = stage("candidates", lambda: candidate_pairs(rep_sigs, cfg))
+    # stage name is "edges_rep", NOT round-1's "edges": the frame holds
+    # REPRESENTATIVE-level edges now, and reusing the old name would let
+    # resume=True silently load a pre-contraction member-level checkpoint
+    # whose non-representative endpoints vanish in the expansion join.
     edges_rep = stage(
-        "edges", lambda: verify_pairs(pairs, rep_sigs, shingles, cfg)
+        "edges_rep", lambda: verify_pairs(pairs, rep_sigs, shingles, cfg)
     )
 
     if cfg.min_lcs > 0:

@@ -56,13 +56,19 @@ def incremental_update(new_corpus: DataFrame, state_dir: str,
         all_sigs = new_sigs
 
     # band join: buckets of ALL signatures, but keep only buckets touched
-    # by a new file; pair (new x all) within bucket. Same skew guard as the
-    # batch path (operators/lsh.py): buckets whose CUMULATIVE size exceeds
-    # max_bucket * salt are excluded — a boilerplate mega-bucket would
-    # otherwise make every future batch quadratic in corpus size.
+    # by a new file; pair (new x all) within bucket. Skew guard aligned
+    # with the batch path (operators/lsh.py + groups.py): bucket size is
+    # counted over DISTINCT signatures (one representative per identical
+    # signature group — identical files share every band value), so a
+    # mega-cluster of exact copies counts as ONE and keeps matching, while
+    # a true boilerplate band (many distinct signatures colliding) beyond
+    # max_bucket * salt is excluded from pair generation.
     salt_cap = cfg.max_bucket * max(1, cfg.salt)
     all_b = band_buckets(all_sigs, cfg)
-    sizes = all_b.groupBy("band_id", "band_hash").agg(
+    rep_b = band_buckets(
+        all_sigs.dropDuplicates(["minhash"]), cfg
+    )
+    sizes = rep_b.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_size")
     )
     all_b = all_b.join(

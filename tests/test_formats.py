@@ -124,3 +124,33 @@ def test_unbounded_memory_unchanged():
     assert encode_format1(data, max_size=512) == encode_format1(
         data, max_size=512, max_memory=0
     )
+
+
+def test_zero_length_block_keeps_backref_position():
+    """A zero-length mid-stream block occupies a backref position (the
+    reference reader appends an rblock unconditionally, reader.go:195);
+    later offsets must count it in both the decoder and the MaxMem walk."""
+    import io
+
+    from dedup_spark.formats import format1_max_mem
+
+    idx = io.BytesIO()
+    dat = io.BytesIO()
+    max_size = 512
+    write_uvarint(idx, 1)
+    write_uvarint(idx, max_size)
+    payload = b"x" * 100
+    # record 1: new block of 100 bytes
+    write_uvarint(idx, 0); write_uvarint(idx, max_size - 100)
+    dat.write(payload)
+    # record 2: new block of 0 bytes (occupies position 2)
+    write_uvarint(idx, 0); write_uvarint(idx, max_size)
+    # record 3: backref offset 2 → must resolve to record 1's payload
+    write_uvarint(idx, 2)
+    # EOS
+    write_uvarint(idx, (1 << 64) - 1); write_uvarint(idx, max_size)
+    write_uvarint(idx, 0)
+    out = decode_format1(idx.getvalue(), dat.getvalue())
+    assert out == payload + payload
+    # liveness: block 1 live from pos 1 to 3 → peak 100
+    assert format1_max_mem(idx.getvalue()) == 100

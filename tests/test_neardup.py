@@ -131,7 +131,8 @@ def test_resume_skips_stages(spark, corpus, tmp_path_factory):
     assert r2["clusters"].count() == n1
     assert os.path.exists(os.path.join(workdir, "metrics.jsonl"))
     stages = {s for s in os.listdir(workdir) if not s.endswith(".jsonl")}
-    assert {"signatures", "candidates", "edges", "clusters"} <= stages
+    assert {"signatures", "groups", "candidates", "edges_rep",
+            "clusters"} <= stages
 
 
 @pytest.mark.skipif(
@@ -190,14 +191,16 @@ def test_group_contraction_semantics(spark):
         expand_group_edges, group_star_pairs, sketch_groups,
     )
 
+    rows = [
+        (1, 2, [10, 20]), (5, 2, [10, 20]), (3, 2, [10, 20]),  # group A
+        (2, 2, [30, 40]), (8, 2, [30, 40]),                    # group B
+        (9, 1, [50]),                                          # singleton
+        (7, 0, []),                                            # no shingles
+    ]
     sigs = spark.createDataFrame(
-        [
-            (1, 2, [10, 20]), (5, 2, [10, 20]), (3, 2, [10, 20]),  # group A
-            (2, 2, [30, 40]), (8, 2, [30, 40]),                    # group B
-            (9, 1, [50]),                                          # singleton
-            (7, 0, []),                                            # no shingles
-        ],
-        "file_id long, n_shingles int, shingles array<long>",
+        [(f, n, sh, sh, n) for f, n, sh in rows],
+        "file_id long, n_shingles int, shingles array<long>, "
+        "minhash array<long>, simhash long",
     )
     g = sketch_groups(sigs)
     reps = {r["file_id"]: r["rep"] for r in g.collect()}
