@@ -71,7 +71,14 @@ class DedupConfig:
 
     @property
     def rows_per_band(self) -> int:
-        assert self.bands * self.band_rows <= self.num_perm
+        # ValueError, not assert: asserts vanish under `python -O`, and an
+        # out-of-range band slice silently hashes empty slices (every file
+        # collides in those bands)
+        if self.bands * self.band_rows > self.num_perm:
+            raise ValueError(
+                f"bands*band_rows ({self.bands}*{self.band_rows}) exceeds "
+                f"num_perm ({self.num_perm})"
+            )
         return self.band_rows
 
 

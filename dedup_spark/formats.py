@@ -177,9 +177,16 @@ def format1_max_mem(index: bytes) -> int:
         offset = read_uvarint(idx)
         if offset == 0:
             r = read_uvarint(idx)
+            if r > max_size:
+                # reader.go validates r > size for new AND EOS records; a
+                # corrupt index otherwise yields a negative readData and a
+                # nonsense peak instead of an error
+                raise ValueError("bad block size")
             blocks.append([i, i, max_size - r])
         elif offset == MAX_U64:
             r = read_uvarint(idx)
+            if r > max_size:
+                raise ValueError("bad block size")
             blocks.append([0, 0, max_size - r])
             if read_uvarint(idx) != 0:
                 raise ValueError("bad stream terminator")

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata (driver extras).
 
-The decode/feature kernels are STUBS in this sandbox (no image/audio libs
-baked in — see the clearly-marked NotImplementedError / deterministic-fake
-paths) but the Spark-side plumbing is real and tested: schemas, Arrow batch
-shapes, partitioning, and the mapInPandas UDF signatures are exactly what a
-production decode stage uses; swapping the fake for PIL/librosa is a
-one-function change.
+The Spark-side plumbing is real and tested: schemas, Arrow batch shapes,
+partitioning, and the mapInPandas UDF signatures are exactly what a
+production decode stage uses. The decode kernel is DISPATCHED at import
+time: if PIL is importable the real image decoder runs; otherwise a
+clearly-marked deterministic fake stands in (this sandbox has no
+image/audio libs baked in, so it always takes the fake branch here —
+the dispatch itself is unit-tested so the "one-function swap" is code,
+not a claim).
 """
 
 from __future__ import annotations
@@ -24,7 +26,15 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = "media_id long, kind string, feature array<float>, n_bytes int"
 
-REAL_DECODERS = False  # flip when PIL / soundfile are available
+# import probe: real decoders when the libs exist, deterministic fake
+# otherwise. Flipping environments changes behavior with zero code edits.
+try:  # pragma: no cover - sandbox has no PIL
+    from PIL import Image as _PILImage
+
+    REAL_DECODERS = True
+except ImportError:
+    _PILImage = None
+    REAL_DECODERS = False
 
 
 def media_table(df: DataFrame, payload_col: str, kind: str,
@@ -41,12 +51,29 @@ def media_table(df: DataFrame, payload_col: str, kind: str,
     )
 
 
+def _real_decode(payload: bytes, kind: str, n_dims: int = 16) -> list[float]:
+    """Real decode→feature-extract for images: PIL decode, grayscale
+    thumbnail, unit-norm pixel vector. Only reachable when PIL imported
+    (REAL_DECODERS); non-image kinds fall back to the fake until an
+    audio/video lib is probed the same way."""
+    if kind != "image" or _PILImage is None:
+        return _fake_decode(payload, kind, n_dims)
+    import io
+    import math
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("L")
+    side = max(1, int(math.isqrt(n_dims)))
+    img = img.resize((side, max(1, n_dims // side)))
+    vals = [p / 255.0 - 0.5 for p in img.getdata()][:n_dims]
+    vals += [0.0] * (n_dims - len(vals))
+    norm = sum(v * v for v in vals) ** 0.5 or 1.0
+    return [v / norm for v in vals]
+
+
 def _fake_decode(payload: bytes, kind: str, n_dims: int = 16) -> list[float]:
     """Deterministic stand-in for decode→feature-extract: a unit-norm
-    vector derived from the payload digest. NOT a real decoder — gated
-    behind REAL_DECODERS so production swaps in PIL/librosa/ffmpeg."""
-    if REAL_DECODERS:  # pragma: no cover
-        raise NotImplementedError("wire a real decoder (PIL/librosa) here")
+    vector derived from the payload digest. NOT a real decoder — the
+    import probe above selects it only when the real libs are absent."""
     h = hashlib.blake2b(payload or b"", digest_size=n_dims * 2,
                         person=kind.encode()[:16]).digest()
     vals = [
@@ -57,16 +84,19 @@ def _fake_decode(payload: bytes, kind: str, n_dims: int = 16) -> list[float]:
     return [v / norm for v in vals]
 
 
+decode_feature = _real_decode if REAL_DECODERS else _fake_decode
+
+
 def extract_features(media: DataFrame, n_dims: int = 16) -> DataFrame:
     """mapInPandas decode/feature stage — Arrow-batched, one vector per
     media row. Batch shape and schema are production-real; the kernel is
-    the deterministic fake above."""
+    whatever ``decode_feature`` dispatched to at import time."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode(p if p is not None else b"", k, n_dims)
+                decode_feature(p if p is not None else b"", k, n_dims)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(

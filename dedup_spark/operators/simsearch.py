@@ -15,8 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..config import minhash_coeffs
-
 
 def _dot(a, b):
     return F.aggregate(

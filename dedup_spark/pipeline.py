@@ -20,16 +20,38 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .config import DedupConfig
 
+# Bump whenever a checkpointed stage's SEMANTICS change (round 2: stages
+# moved from member-level to representative-level frames). Folded into the
+# checkpoint fingerprint so resume over an old workdir recomputes instead
+# of silently loading stale-semantics data.
+PIPELINE_SEMVER = 2
+
+
+def config_fingerprint(cfg: DedupConfig) -> str:
+    """Canonical JSON of every semantics-bearing knob + the pipeline
+    schema version. A checkpoint written under a different fingerprint is
+    never resumed: round-2's near-miss was ``resume=True`` over a workdir
+    whose 'candidates' held member-level pairs under rep-level semantics —
+    the silent-drop class this guard closes."""
+    import dataclasses
+
+    return json.dumps(
+        {"semver": PIPELINE_SEMVER, **dataclasses.asdict(cfg)},
+        sort_keys=True,
+    )
+
 
 class Checkpointer:
-    def __init__(self, spark: SparkSession, workdir: str | None):
+    def __init__(self, spark: SparkSession, workdir: str | None,
+                 fingerprint: str | None = None):
         self.spark = spark
         self.workdir = workdir
+        self.fingerprint = fingerprint
         if workdir:
             os.makedirs(workdir, exist_ok=True)
 
@@ -37,9 +59,17 @@ class Checkpointer:
         return os.path.join(self.workdir, stage)
 
     def has(self, stage: str) -> bool:
-        return bool(self.workdir) and os.path.exists(
-            os.path.join(self._path(stage), "_SUCCESS")
-        )
+        if not (self.workdir and os.path.exists(
+                os.path.join(self._path(stage), "_SUCCESS"))):
+            return False
+        if self.fingerprint is None:
+            return True
+        fp_file = os.path.join(self._path(stage), "_fingerprint.json")
+        try:
+            with open(fp_file) as f:
+                return f.read() == self.fingerprint
+        except OSError:
+            return False  # pre-fingerprint checkpoint: recompute
 
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._path(stage))
@@ -48,12 +78,20 @@ class Checkpointer:
         """Materialize df, record lineage metrics, return the re-read frame
         (so downstream plans start from the checkpoint, cutting lineage)."""
         path = self._path(stage)
-        df.write.mode("overwrite").parquet(path)
+        # observe() rides the write job itself — row count measured AT
+        # write time, zero extra scan, cross-checked against the committed
+        # parquet footers below (a mismatch would mean lost/duplicated
+        # rows between the job and the commit).
+        obs = Observation(f"ckpt_{stage}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        observed_rows = int(obs.get["rows"])
         wall_ms = int((time.time() - t0) * 1000)
         out = self.spark.read.parquet(path)
         # per-file lineage from the parquet FOOTERS (driver-side metadata
-        # read) — the committed files are the ground truth and this costs
-        # no second Spark scan of the checkpoint
+        # read) — one output file per write partition, so this is the
+        # per-partition row/byte lineage and costs no second Spark scan
         import pyarrow.parquet as pq
 
         files = []
@@ -72,10 +110,14 @@ class Checkpointer:
             "stage": stage,
             "wall_ms": wall_ms,
             "rows": int(sum(f["rows"] for f in files)),
+            "observed_rows": observed_rows,
             "files": files,
         }
         with open(os.path.join(self.workdir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(meta) + "\n")
+        if self.fingerprint is not None:
+            with open(os.path.join(path, "_fingerprint.json"), "w") as f:
+                f.write(self.fingerprint)
         return out
 
 
@@ -108,7 +150,7 @@ def run_pipeline(
 
     cfg = cfg or DedupConfig()
     spark = corpus.sparkSession
-    ckpt = Checkpointer(spark, workdir)
+    ckpt = Checkpointer(spark, workdir, config_fingerprint(cfg))
 
     def stage(name: str, build):
         t0 = time.time()

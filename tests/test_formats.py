@@ -154,3 +154,28 @@ def test_zero_length_block_keeps_backref_position():
     assert out == payload + payload
     # liveness: block 1 live from pos 1 to 3 → peak 100
     assert format1_max_mem(idx.getvalue()) == 100
+
+
+def test_format1_max_mem_rejects_corrupt_size():
+    """reader.go validates r > size for new and EOS records; the MaxMem
+    sweep must reject a corrupt index instead of computing a negative
+    readData (ADVICE r2)."""
+    import io
+
+    from dedup_spark.formats import MAX_U64, format1_max_mem, write_uvarint
+
+    buf = io.BytesIO()
+    write_uvarint(buf, 1)       # format 1
+    write_uvarint(buf, 1024)    # max_size
+    write_uvarint(buf, 0)       # new record
+    write_uvarint(buf, 2000)    # r > max_size → corrupt
+    with pytest.raises(ValueError, match="bad block size"):
+        format1_max_mem(buf.getvalue())
+
+    buf = io.BytesIO()
+    write_uvarint(buf, 1)
+    write_uvarint(buf, 1024)
+    write_uvarint(buf, MAX_U64)  # EOS record
+    write_uvarint(buf, 5000)     # r > max_size on EOS → corrupt
+    with pytest.raises(ValueError, match="bad block size"):
+        format1_max_mem(buf.getvalue())

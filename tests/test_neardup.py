@@ -221,3 +221,21 @@ def test_group_contraction_semantics(spark):
     }
     rejected = [(r["src"], r["dst"]) for r in out if not r["verified"]]
     assert rejected == [(1, 9)]
+
+
+def test_resume_rejects_stale_fingerprint(spark, corpus, tmp_path_factory):
+    """A checkpoint written under different config semantics must be
+    recomputed, not resumed (ADVICE r2: config/semantics fingerprint).
+    Here the jaccard threshold changes between runs; a naive resume would
+    serve the old edge set."""
+    workdir = str(tmp_path_factory.mktemp("ckpt_fp"))
+    small = corpus.where("file_id >= 300")
+    loose = run_pipeline(small, DedupConfig(jaccard_threshold=0.3),
+                         workdir=workdir)["edges"].where("verified").count()
+    strict = run_pipeline(small, DedupConfig(jaccard_threshold=0.95),
+                          workdir=workdir)["edges"].where("verified").count()
+    assert strict < loose  # stale resume would return the 0.3 edges
+    # and resuming with the SAME config still loads the checkpoint
+    again = run_pipeline(small, DedupConfig(jaccard_threshold=0.95),
+                         workdir=workdir)["edges"].where("verified").count()
+    assert again == strict
