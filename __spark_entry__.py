@@ -313,6 +313,13 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "gid", F.min("doc_id").over(w).alias("rep"),
         *[f"mh{i}" for i in range(_K16)],
     )
+    # four consumers (reps→bands, mem twice, within) would each replan the
+    # whole signature scan+window; persist materializes it ONCE. DISK_ONLY:
+    # local dir is tmpfs, and deserialized in-heap caching of wide rows is
+    # GC-hostile (round-1 finding).
+    from pyspark import StorageLevel
+
+    members = members.persist(StorageLevel.DISK_ONLY)
     reps = members.where(F.col("doc_id") == F.col("rep"))
     band_arr = F.array(
         *[

@@ -1,20 +1,24 @@
 """Stage 5: connected components — verified edges → cluster ids.
 
-Min-contraction connected components (the MapReduce CC family — Kiveris
-et al. SOCC'14): each round every vertex adopts the minimum id in its
-closed neighborhood as representative, the edge set is rewritten onto
-representatives, self-edges vanish, and the (much smaller) contracted
-graph iterates. Near-dup graphs are clique-heavy, so the edge set
-collapses after the first round and convergence is O(log n) rounds on
-pathological chains. All join+agg — no driver-side graph state; each
-round localCheckpoints to cut lineage (SURVEY.md §4.3).
+Alternating large-star / small-star connected components (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14): each round every
+vertex hooks its larger neighbors onto the minimum of its closed
+neighborhood (large-star), then its smaller neighbors onto their minimum
+(small-star). Both steps preserve components over the ORIGINAL vertex ids,
+the edge set monotonically flattens into per-component stars centered at
+the component minimum, and convergence is O(log² n) rounds worst-case —
+including long paths, which a naive one-hop min-contraction only shortens
+by one vertex per round (that latent linear-round bug is why this
+implementation exists; a test drives the loop explicitly). All join+agg —
+no driver-side graph state; each round localCheckpoints to cut lineage
+(SURVEY.md §4.3).
 
 Cluster id = smallest file_id in the component (deterministic).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -29,12 +33,42 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """(u,v) canon → canon: every neighbor larger than u hooks onto the
+    minimum of u's closed neighborhood."""
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    m = F.least(F.col("u"), F.min("v").over(w))
+    return (
+        sym.withColumn("m", m)
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("u"), "v")  # m <= u < v: already canon
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """(u,v) canon → canon: orient to the larger endpoint; it and all its
+    smaller neighbors hook onto the smallest of them."""
+    big = e.select(F.col("v").alias("u"), F.col("u").alias("v"))  # u > v
+    w = Window.partitionBy("u")
+    withm = big.withColumn("m", F.min("v").over(w))  # m = min neighbor < u
+    hooked = withm.select(F.col("m").alias("u"), F.col("v"))  # (m, v), m <= v
+    center = withm.select(F.col("m").alias("u"), F.col("u").alias("v"))
+    return (
+        hooked.unionAll(center)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25,
                          n_partitions: int | None = None) -> DataFrame:
     """Return (file_id, cluster_id) for every vertex appearing in edges.
 
-    ``n_partitions`` sizes the per-round shuffles. The contracted graph
-    shrinks drastically after round one, so a small fixed width avoids
+    ``n_partitions`` sizes the per-round shuffles. The star rounds flatten
+    the edge set drastically after round one, so a small fixed width avoids
     paying hundreds of near-empty tasks per round; at true cluster scale
     pass something proportional to the edge count.
     """
@@ -52,43 +86,21 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
 DRIVER_FINALIZE_EDGES = 500_000  # collect threshold: ~8 MB of (u,v) longs
 
 
-def _finalize_on_driver(e: DataFrame, mapping: DataFrame) -> DataFrame:
-    """Small-remainder finalize: union-find the contracted graph on the
-    driver (a few MB at most — the distributed rounds only stop when the
-    edge count is under DRIVER_FINALIZE_EDGES) and apply the root map to
-    the vertex mapping with one broadcast join. Saves 2-3 full join
-    rounds of barrier latency; at real scale the distributed contraction
-    keeps running until the remainder fits."""
-    from ..oracle import UnionFind
+def _assign_from_edges(pairs: list) -> "DataFrame":
+    """Driver-side union-find over a bounded edge list → assignments for
+    every vertex present (cluster id = component min)."""
+    from ..oracle import UnionFind, oracle_clusters
 
-    spark = e.sparkSession
     uf = UnionFind()
-    for u, v in e.select("u", "v").collect():
+    for u, v in pairs:
         uf.union(u, v)
-    roots: dict[int, int] = {}
-    comp: dict[int, int] = {}
-    for x in list(uf.parent):
-        r = uf.find(x)
-        comp.setdefault(r, r)
-        comp[r] = min(comp[r], x)
-    for x in list(uf.parent):
-        roots[x] = comp[uf.find(x)]
-    if not roots:
-        return mapping
-    from pyspark.sql import functions as F2
-
-    rmap = spark.createDataFrame(
-        list(roots.items()), "label long, final_label long"
-    )
-    return mapping.join(F2.broadcast(rmap), "label", "left").select(
-        "vertex",
-        F2.coalesce("final_label", F2.col("label")).alias("label"),
-    )
+    return oracle_clusters(list(uf.parent), pairs)
 
 
 def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
     from pyspark import StorageLevel
 
+    spark = edges.sparkSession
     # persist BEFORE the probe: on the big-graph branch the probe's partial
     # compute is reused by the localCheckpoint instead of re-deriving the
     # whole canon lineage (which may be an expensive pair-gen pipeline)
@@ -99,77 +111,64 @@ def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
     # getting <= threshold rows back means we got ALL rows.
     probe = canon.limit(DRIVER_FINALIZE_EDGES + 1).collect()
     if len(probe) <= DRIVER_FINALIZE_EDGES:
-        from ..oracle import UnionFind, oracle_clusters
-
         canon.unpersist()
-        uf = UnionFind()
-        pairs = [(r[0], r[1]) for r in probe]
-        for u, v in pairs:
-            uf.union(u, v)
-        assign = oracle_clusters(list(uf.parent), pairs)
-        spark = edges.sparkSession
+        assign = _assign_from_edges([(r[0], r[1]) for r in probe])
         return spark.createDataFrame(
             list(assign.items()), "file_id long, cluster_id long"
         )
 
     e = canon.repartition(n_partitions).localCheckpoint(eager=True)
     canon.unpersist()
-    mapping = (
-        e.select(F.col("u").alias("vertex"))
-        .unionAll(e.select(F.col("v").alias("vertex")))
-        .distinct()
-        .withColumn("label", F.col("vertex"))
-        .localCheckpoint(eager=True)
-    )
 
+    # star rounds keep edges on ORIGINAL vertex ids (no supernode
+    # contraction), so at any point the current edge set has exactly the
+    # original components — both the driver finalize and the converged
+    # labeling read assignments straight off it.
+    prev_sig = None
+    converged = False
     for _ in range(max_iter):
-        n_edges = e.count()
-        if n_edges == 0:
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # count + order-independent XOR of per-edge hashes: an unchanged
+        # pair means an unchanged (distinct) edge set. bit_xor, not sum —
+        # summing 64-bit hashes overflows under ANSI arithmetic.
+        sig = e2.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).first()
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            e = e2
+            converged = True
             break
-        if n_edges <= DRIVER_FINALIZE_EDGES:
-            mapping = _finalize_on_driver(e, mapping)
-            break
-        sym = e.unionAll(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        # representative = min of closed neighborhood
-        rep = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("u", "mn").alias("rep"))
-        )
-        # compose into the vertex→label mapping (labels are current reps;
-        # isolated roots keep their label via the left join)
-        mapping = (
-            mapping.join(
-                rep.withColumnsRenamed({"u": "label", "rep": "new_label"}),
-                "label",
-                "left",
+        prev_sig = sig
+        e = e2
+        if sig[0] <= DRIVER_FINALIZE_EDGES:
+            # small remainder: finish on the driver (saves the last few
+            # rounds of stage-barrier latency)
+            assign = _assign_from_edges(
+                [(r[0], r[1]) for r in e.select("u", "v").collect()]
             )
-            .select(
-                "vertex",
-                F.coalesce("new_label", F.col("label")).alias("label"),
+            return spark.createDataFrame(
+                list(assign.items()), "file_id long, cluster_id long"
             )
-            .localCheckpoint(eager=True)
+    if not converged:
+        # NEVER return silently-partial labels (the failure mode of the
+        # round-2 one-hop contraction on long paths)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
         )
-        # contract edges onto representatives; self-edges vanish
-        ru = rep.withColumnsRenamed({"u": "u", "rep": "ru"})
-        rv = rep.withColumnsRenamed({"u": "v", "rep": "rv"})
-        e = (
-            e.join(ru, "u")
-            .join(rv, "v")
-            .select(
-                F.least("ru", "rv").alias("u"),
-                F.greatest("ru", "rv").alias("v"),
-            )
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-
-    return mapping.select(
-        F.col("vertex").alias("file_id"), F.col("label").alias("cluster_id")
-    )
+    # fixpoint: every component is a star (center=min). Validate before
+    # trusting the labels — star-ness means no vertex is both a leaf and a
+    # center (one tiny aggregation, guards against a non-star fixpoint of
+    # the composed rounds ever slipping through the signature check).
+    if e.select("u").intersect(e.select(F.col("v").alias("u"))).limit(1).count():
+        raise RuntimeError("connected_components fixpoint is not a star set")
+    # label leaves by their center, centers by themselves
+    leaves = e.select(F.col("v").alias("file_id"), F.col("u").alias("cluster_id"))
+    centers = e.select(F.col("u").alias("file_id"), F.col("u").alias("cluster_id"))
+    return leaves.unionAll(centers).distinct()
 
 
 def cluster_assignments(corpus_ids: DataFrame, edges: DataFrame,

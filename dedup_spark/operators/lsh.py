@@ -1,13 +1,15 @@
 """Stage 4a: LSH banding — signatures → candidate pairs (SURVEY.md J7).
 
-Plan shape (all relational, ONE scan of the signature frame and ONE
-exchange on the band key):
+Plan shape (all relational):
 
   signatures
     → explode K minhash values into b bands of r rows        (JVM-side)
     → band_hash = xxhash64(band_id, r-slice)                 (JVM-side)
-    → ONE shuffle on (band_id, band_hash); bucket sizes via a window
-      count over that partitioning (no second scan, no join back)
+    → mega-bucket pre-filter: partial-agg count on the band key (shuffle
+      volume = distinct keys) finds >max_bucket·salt keys; they are
+      broadcast-anti-joined out so no window task ever buffers one
+    → shuffle on (band_id, band_hash); bucket sizes via a window count
+      over that partitioning (no join back)
     → skew ladder per bucket size s (north_rule: explicit skew handling,
       no silent truncation):
         s ≤ max_bucket          → direct in-partition pair-gen
@@ -97,10 +99,27 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     buckets = band_buckets(signatures, cfg)
     max_b = cfg.max_bucket
     salt_cap = max_b * max(1, cfg.salt)
+    # mega-bucket pre-filter (ADVICE r2): the window pass buffers each
+    # bucket in ONE task's spillable array, so a power-law boilerplate band
+    # would serialize a whole task on rows that are dropped anyway. A
+    # groupBy count first (map-side partial agg — shuffle volume is
+    # distinct keys, not rows) finds the >salt_cap keys; they are
+    # broadcast-anti-joined out BEFORE the window ever buffers them. Hot
+    # keys are bounded by total_rows/salt_cap (each needs >salt_cap rows),
+    # so the broadcast side stays tiny by construction.
+    hot = (
+        buckets.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") > salt_cap)
+    )
+    cold = buckets.join(
+        F.broadcast(hot.select("band_id", "band_hash")),
+        ["band_id", "band_hash"],
+        "left_anti",
+    )
     w = Window.partitionBy("band_id", "band_hash")
-    counted_all = buckets.withColumn("bucket_size", F.count("*").over(w))
-    counted = counted_all.where(
-        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= salt_cap)
+    counted = cold.withColumn("bucket_size", F.count("*").over(w)).where(
+        F.col("bucket_size") >= 2
     )
 
     # block id per member + one row per block-pair task it belongs to; a
@@ -148,17 +167,11 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     )
     if not return_metrics:
         return pairs
-    # metrics share the SAME window pass as pair generation (the band
-    # exchange is reused — no second explode/shuffle of the signature
-    # frame just to count drops)
-    dropped = (
-        counted_all.where(F.col("bucket_size") > salt_cap)
-        .groupBy("band_id", "band_hash")
-        .agg(F.first("bucket_size").alias("bucket_size"))
-        .agg(
-            F.count("*").alias("dropped_buckets"),
-            F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("dropped_rows"),
-            F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
-        )
+    # the dropped-bucket metrics ARE the pre-filter's hot-key table — no
+    # extra pass over the bucket frame
+    dropped = hot.agg(
+        F.count("*").alias("dropped_buckets"),
+        F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("dropped_rows"),
+        F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
     )
     return pairs, dropped

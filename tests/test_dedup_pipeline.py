@@ -218,3 +218,22 @@ def test_signature_scan_column_pruning(spark, tmp_path):
         assert "content" in schema and "file_id" in schema
         for col in ("repo", "path", "commit", "lang", "content_sha256"):
             assert col not in schema, f"unpruned column {col}: {schema}"
+
+
+def test_zpaq_chunk_stats_pinned_triple(spark):
+    """The one rows-only driver cell (no DuckDB oracle possible for the
+    per-byte ZPAQ recurrence): pin the exact sf0.01 result so the query is
+    regression-gated in pytest even though the driver check is rows-only
+    (VERDICT r2 #7). Kernel correctness itself is golden-gated in
+    tests/test_chunkers.py."""
+    import os
+
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(sf_dir):
+        pytest.skip("driver testdata not present")
+    row = e.q_zpaq_chunk_stats(spark, sf_dir).first()
+    assert (row["n_chunks"], row["n_unique"], row["total_bytes"]) == (
+        1052, 1030, 149174,
+    )

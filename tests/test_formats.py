@@ -179,3 +179,17 @@ def test_format1_max_mem_rejects_corrupt_size():
     write_uvarint(buf, 5000)     # r > max_size on EOS → corrupt
     with pytest.raises(ValueError, match="bad block size"):
         format1_max_mem(buf.getvalue())
+
+
+def test_reference_file_example_goldens():
+    """writer_test.go:985-1068 file-writer examples: 500,000 zero bytes,
+    fixed @1000 → 500 blocks, 517 B index + 1,000 B data (format 1);
+    stream writer with maxMemory 10,000 (10 blocks) → 1,518 B stream."""
+    data = bytes(500_000)
+    idx, dat = encode_format1(data, mode="fixed", max_size=1000)
+    assert (len(idx), len(dat)) == (517, 1000)
+    assert decode_format1(idx, dat) == data
+
+    stream = encode_format2(data, mode="fixed", max_size=1000, max_blocks=10)
+    assert len(stream) == 1518
+    assert decode_format2(stream) == data

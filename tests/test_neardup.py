@@ -239,3 +239,32 @@ def test_resume_rejects_stale_fingerprint(spark, corpus, tmp_path_factory):
     again = run_pipeline(small, DedupConfig(jaccard_threshold=0.95),
                          workdir=workdir)["edges"].where("verified").count()
     assert again == strict
+
+
+def test_cc_distributed_loop_matches_driver_path(spark, monkeypatch):
+    """Force DRIVER_FINALIZE_EDGES tiny so the distributed min-contraction
+    loop and the _finalize_on_driver handoff actually run (the suites
+    otherwise always take the small-graph fast path), and assert identical
+    clusters (VERDICT r2 #8)."""
+    from dedup_spark.operators import cluster as cl
+
+    # a 60-vertex chain (worst case for contraction rounds), two cliques,
+    # and a couple of isolated-by-edges stars
+    pairs = [(i, i + 1) for i in range(60)]
+    pairs += [(100 + a, 100 + b) for a in range(8) for b in range(a + 1, 8)]
+    pairs += [(200, 201), (200, 202), (300, 301)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    ids = spark.range(0, 310).select(F.col("id").alias("file_id"))
+
+    want = {
+        (r["file_id"], r["cluster_id"])
+        for r in cl.cluster_assignments(ids, edges).collect()
+    }
+    monkeypatch.setattr(cl, "DRIVER_FINALIZE_EDGES", 4)
+    got = {
+        (r["file_id"], r["cluster_id"])
+        for r in cl.cluster_assignments(ids, edges).collect()
+    }
+    assert got == want
+    # sanity: the chain really is one component rooted at 0
+    assert (59, 0) in got and (107, 100) in got
