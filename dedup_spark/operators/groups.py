@@ -55,6 +55,34 @@ def sketch_groups(signatures: DataFrame) -> DataFrame:
     )
 
 
+def with_groups(signatures: DataFrame) -> DataFrame:
+    """Signature rows + (g1, g2, rep, group_size) in ONE wide exchange.
+
+    Fused alternative to ``sketch_groups`` + a join-back: the window runs
+    over the full signature rows, so the representative FILTER
+    (``file_id = rep``) needs no second exchange of the wide table — the
+    no-workdir pipeline persists this frame once and derives signatures,
+    groups, and rep_sigs as projections. Zero-shingle files get a unique
+    per-file group key (they never participate in matching, and a shared
+    empty-signature key would otherwise weld all empty files into one
+    bogus group).
+    """
+    empty = F.col("n_shingles") == 0
+    keyed = signatures.withColumn(
+        "g1",
+        F.when(empty, F.xxhash64(F.lit(-1), "file_id"))
+        .otherwise(F.xxhash64("shingles", "minhash", "simhash")),
+    ).withColumn(
+        "g2",
+        F.when(empty, F.xxhash64(F.lit(-2), "file_id"))
+        .otherwise(F.xxhash64(F.lit(1), "shingles", "minhash", "simhash")),
+    )
+    w = Window.partitionBy("g1", "g2")
+    return keyed.withColumn("rep", F.min("file_id").over(w)).withColumn(
+        "group_size", F.count("*").over(w)
+    )
+
+
 def representative_ids(groups: DataFrame) -> DataFrame:
     return groups.where(F.col("file_id") == F.col("rep")).select("file_id")
 

@@ -113,6 +113,39 @@ def minhash_simhash(x: np.ndarray, a: np.ndarray, b: np.ndarray):
     return mh, sim
 
 
+def _sig_record_batch(ids, contents, a, b, cfg) -> pa.RecordBatch:
+    """Kernel loop shared by both feed paths: (file_id, bytes) rows →
+    one signature RecordBatch."""
+    o_id, o_nc, o_ns, o_mh, o_sh, o_sg = [], [], [], [], [], []
+    for fid, data in zip(ids, contents):
+        data = data or b""
+        x, n_chunks = shingle_hashes(data, cfg)
+        mh, sim = minhash_simhash(x, a, b)
+        o_id.append(fid)
+        o_nc.append(n_chunks)
+        o_ns.append(int(x.size))
+        o_mh.append(mh.tolist())
+        o_sh.append(sim)
+        # bottom-k sketch of the distinct shingles (np.unique is
+        # sorted, so the first k ARE the k smallest) — the exact-
+        # Jaccard verify set; emitted here so the corpus is
+        # scanned ONCE
+        u = np.unique(x)[:cfg.max_shingles]
+        o_sg.append(u.astype(np.int64).tolist())
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(o_id, pa.int64()),
+            pa.array(o_nc, pa.int32()),
+            pa.array(o_ns, pa.int32()),
+            pa.array(o_mh, pa.list_(pa.int64())),
+            pa.array(o_sh, pa.int64()),
+            pa.array(o_sg, pa.list_(pa.int64())),
+        ],
+        names=["file_id", "n_chunks", "n_shingles", "minhash",
+               "simhash", "shingles"],
+    )
+
+
 def compute_signatures(corpus: DataFrame, cfg: DedupConfig,
                        content_col: str = "content",
                        id_col: str = "file_id") -> DataFrame:
@@ -123,38 +156,13 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig,
         a = np.asarray(a_list, dtype=np.int64)
         b = np.asarray(b_list, dtype=np.int64)
         for batch in batches:
-            ids = batch.column(0).to_pylist()
             # content arrives as BINARY (cast JVM-side): to_pylist yields
             # bytes directly — no Arrow utf-8 decode + Python re-encode of
             # the whole corpus
-            contents = batch.column(1).to_pylist()
-            o_id, o_nc, o_ns, o_mh, o_sh, o_sg = [], [], [], [], [], []
-            for fid, data in zip(ids, contents):
-                data = data or b""
-                x, n_chunks = shingle_hashes(data, cfg)
-                mh, sim = minhash_simhash(x, a, b)
-                o_id.append(fid)
-                o_nc.append(n_chunks)
-                o_ns.append(int(x.size))
-                o_mh.append(mh.tolist())
-                o_sh.append(sim)
-                # bottom-k sketch of the distinct shingles (np.unique is
-                # sorted, so the first k ARE the k smallest) — the exact-
-                # Jaccard verify set; emitted here so the corpus is
-                # scanned ONCE
-                u = np.unique(x)[:cfg.max_shingles]
-                o_sg.append(u.astype(np.int64).tolist())
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(o_id, pa.int64()),
-                    pa.array(o_nc, pa.int32()),
-                    pa.array(o_ns, pa.int32()),
-                    pa.array(o_mh, pa.list_(pa.int64())),
-                    pa.array(o_sh, pa.int64()),
-                    pa.array(o_sg, pa.list_(pa.int64())),
-                ],
-                names=["file_id", "n_chunks", "n_shingles", "minhash",
-                       "simhash", "shingles"],
+            yield _sig_record_batch(
+                batch.column(0).to_pylist(),
+                batch.column(1).to_pylist(),
+                a, b, cfg,
             )
 
     return corpus.select(
@@ -163,6 +171,84 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig,
         # bytes JVM-side; the kernel needs bytes, never str
         F.col(content_col).cast("binary").alias("content"),
     ).mapInArrow(sig_batches, SIG_SCHEMA)
+
+
+def parquet_scan_tasks(corpus_path: str) -> list:
+    """Driver-side split planning for the Python-native feed: one task per
+    parquet row group (footer metadata only — no data read). The Iceberg
+    analog lists data files + split offsets from the catalog manifest."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tasks = []
+    for name in sorted(os.listdir(corpus_path)):
+        if name.endswith(".parquet"):
+            fp = os.path.join(corpus_path, name)
+            n_rg = pq.ParquetFile(fp).metadata.num_row_groups
+            tasks.extend((fp, rg) for rg in range(n_rg))
+    return tasks
+
+
+def compute_signatures_direct(spark, corpus_path: str, cfg: DedupConfig,
+                              content_col: str = "content",
+                              id_col: str = "file_id",
+                              rows_per_kernel_batch: int = 64) -> DataFrame:
+    """Signatures with a PYTHON-NATIVE parquet feed: tasks carry (file,
+    row_group) coordinates; each Python worker opens its split with
+    pyarrow and streams bytes straight into the kernel.
+
+    Why this exists (measured, BENCH/BASELINE.md §4): the JVM-scan path
+    copies every corpus byte ~6× (parquet decompress → UTF8String →
+    binary → Arrow IPC → local socket → Python), and with 8 concurrent
+    Arrow feed streams in one JVM that path hits a machine-level per-byte
+    floor that caps stage scaling at ~0.83 regardless of kernel speed.
+    Reading the columnar split in the worker (pyarrow C++, zero JVM
+    involvement) makes the feed scale with the workers themselves. This
+    is the standard Spark pattern for Python-heavy columnar stages
+    (file-list DataFrame + mapInArrow reader — same shape petastorm/NVT
+    use); Spark still owns scheduling, retries, and everything downstream
+    of the signature rows. Column pruning is explicit (``columns=[id,
+    content]``), predicate pushdown is irrelevant (the kernel reads every
+    row), and the output is row-for-row identical to
+    ``compute_signatures`` (equivalence-tested).
+    """
+    a_list, b_list = minhash_coeffs(cfg.num_perm, cfg.seed)
+    tasks = parquet_scan_tasks(corpus_path)
+    if not tasks:
+        raise FileNotFoundError(f"no parquet files under {corpus_path}")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        a = np.asarray(a_list, dtype=np.int64)
+        b = np.asarray(b_list, dtype=np.int64)
+        for batch in batches:
+            for path, rg in zip(batch.column(0).to_pylist(),
+                                batch.column(1).to_pylist()):
+                pf = pq.ParquetFile(path)
+                # bounded batches: a row group may decompress to hundreds
+                # of MB; use_threads=False — one core per worker, the
+                # parallelism is Spark's
+                for tb in pf.iter_batches(
+                    batch_size=rows_per_kernel_batch,
+                    row_groups=[rg],
+                    columns=[id_col, content_col],
+                    use_threads=False,
+                ):
+                    ids = tb.column(0).to_pylist()
+                    col = tb.column(1)
+                    if pa.types.is_string(col.type):
+                        col = col.cast(pa.binary())  # zero-copy view
+                    elif pa.types.is_large_string(col.type):
+                        col = col.cast(pa.large_binary())
+                    yield _sig_record_batch(ids, col.to_pylist(), a, b, cfg)
+
+    sc = spark.sparkContext
+    tasks_df = spark.createDataFrame(
+        sc.parallelize(tasks, len(tasks)), "path string, rg int"
+    )
+    return tasks_df.mapInArrow(run, SIG_SCHEMA)
 
 
 def minhash_jaccard_est(col_a: str, col_b: str, k: int):

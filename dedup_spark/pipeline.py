@@ -128,8 +128,16 @@ def run_pipeline(
     resume: bool = True,
     content_col: str = "content",
     id_col: str = "file_id",
+    corpus_path: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full near-dup pipeline.
+
+    ``corpus_path`` (optional): parquet directory backing ``corpus``.
+    When given, the signature stage uses the Python-native columnar feed
+    (``compute_signatures_direct`` — workers read their own row-group
+    splits with pyarrow instead of being fed over JVM→Python Arrow IPC;
+    row-for-row identical output, measured materially better feed
+    scaling). All other stages consume ``corpus`` as usual.
 
     Returned frames:
       signatures   per-file MinHash/SimHash/shingle-sketch rows
@@ -145,48 +153,80 @@ def run_pipeline(
     """
     from .operators.cluster import cluster_assignments
     from .operators.lsh import candidate_pairs
-    from .operators.signatures import compute_signatures
+    from .operators.signatures import (
+        compute_signatures, compute_signatures_direct,
+    )
     from .operators.verify import verify_pairs
 
     cfg = cfg or DedupConfig()
     spark = corpus.sparkSession
     ckpt = Checkpointer(spark, workdir, config_fingerprint(cfg))
 
-    def stage(name: str, build):
+    from pyspark import StorageLevel
+
+    def stage(name: str, build, persist: bool = True):
         t0 = time.time()
         if resume and ckpt.has(name):
             return ckpt.read(name)
         df = build()
         if workdir:
             return ckpt.write(name, df, t0)
+        if not persist:
+            # single-consumer stage: serializing it buys no reuse — let
+            # the consumer fuse it into one stage chain
+            return df
         # no checkpoint dir: persist multi-consumer stages so the
         # chunk+signature scan runs once, not once per downstream action.
         # DISK_ONLY: deserialized in-heap caching of the array-heavy
         # signature rows caused measurable GC thrash (24s GC in one
         # downstream stage at 5 GB); the local dir is tmpfs so "disk"
         # reads are page-cache speed.
-        from pyspark import StorageLevel
-
         return df.persist(StorageLevel.DISK_ONLY)
 
     from .operators.groups import (
-        expand_group_edges, group_star_pairs, representative_ids, sketch_groups,
+        expand_group_edges, group_star_pairs, representative_ids,
+        sketch_groups, with_groups,
     )
 
+    _GROUP_COLS = ["g1", "g2", "rep", "group_size"]
+
+    def _signatures():
+        if corpus_path is not None:
+            return compute_signatures_direct(
+                spark, corpus_path, cfg, content_col, id_col
+            )
+        return compute_signatures(corpus, cfg, content_col, id_col)
+
     # signatures carry the distinct shingle sets too — ONE corpus scan
-    # feeds both LSH banding and exact-Jaccard verification.
-    signatures = stage(
-        "signatures",
-        lambda: compute_signatures(corpus, cfg, content_col, id_col),
-    )
-    # exact-sketch group contraction: LSH + verify run on one representative
-    # per identical-sketch group (operators/groups.py — the 100 TB lever
-    # against exact-copy-heavy corpora; candidate coverage and pair jaccard
-    # are provably unchanged).
-    groups = stage("groups", lambda: sketch_groups(signatures))
-    rep_sigs = signatures.join(representative_ids(groups), "file_id")
+    # feeds both LSH banding and exact-Jaccard verification. Exact-sketch
+    # group contraction (operators/groups.py — the 100 TB lever against
+    # exact-copy-heavy corpora) makes LSH + verify run on one
+    # representative per identical-signature group; candidate coverage and
+    # pair jaccard are provably unchanged.
+    if workdir:
+        # checkpoint layout: narrow 'groups' stage + join-back (each stage
+        # readable/resumable on its own)
+        signatures = stage("signatures", _signatures)
+        groups = stage("groups", lambda: sketch_groups(signatures))
+        rep_sigs = signatures.join(representative_ids(groups), "file_id")
+    else:
+        # fused plan: ONE wide exchange (window over the full signature
+        # rows) yields signatures, groups, and rep_sigs as projections of
+        # a single persisted frame — the narrow-window + wide-join layout
+        # costs an extra exchange of the signature table for nothing when
+        # no checkpoint needs the narrow frame on disk
+        sig_groups = stage(
+            "sig_groups", lambda: with_groups(_signatures())
+        )
+        signatures = sig_groups.drop(*_GROUP_COLS)
+        groups = sig_groups.select("file_id", *_GROUP_COLS)
+        rep_sigs = sig_groups.where(
+            F.col("file_id") == F.col("rep")
+        ).drop(*_GROUP_COLS)
     shingles = rep_sigs.select("file_id", "shingles")
-    pairs = stage("candidates", lambda: candidate_pairs(rep_sigs, cfg))
+    pairs = stage(
+        "candidates", lambda: candidate_pairs(rep_sigs, cfg), persist=False
+    )
     # stage name is "edges_rep", NOT round-1's "edges": the frame holds
     # REPRESENTATIVE-level edges now, and reusing the old name would let
     # resume=True silently load a pre-contraction member-level checkpoint

@@ -237,3 +237,37 @@ def test_zpaq_chunk_stats_pinned_triple(spark):
     assert (row["n_chunks"], row["n_unique"], row["total_bytes"]) == (
         1052, 1030, 149174,
     )
+
+
+def test_direct_parquet_feed_equivalence(spark, corpus200, tmp_path):
+    """compute_signatures_direct (Python-native pyarrow row-group feed)
+    must be row-for-row identical to the JVM-scan path, and the pipeline
+    must produce identical clusters through it."""
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.operators.signatures import (
+        compute_signatures, compute_signatures_direct,
+    )
+    from dedup_spark.pipeline import run_pipeline
+
+    cfg = DedupConfig()
+    path = str(tmp_path / "corpus_pq")
+    corpus200.repartition(7).write.parquet(path)
+    pq_corpus = spark.read.parquet(path)
+
+    def rows(df):
+        return sorted(
+            (r["file_id"], r["n_chunks"], r["n_shingles"],
+             tuple(r["minhash"]), r["simhash"], tuple(r["shingles"]))
+            for r in df.collect()
+        )
+
+    jvm = rows(compute_signatures(pq_corpus, cfg))
+    direct = rows(compute_signatures_direct(spark, path, cfg))
+    assert direct == jvm
+
+    want = {(r["file_id"], r["cluster_id"])
+            for r in run_pipeline(pq_corpus, cfg)["clusters"].collect()}
+    got = {(r["file_id"], r["cluster_id"])
+           for r in run_pipeline(pq_corpus, cfg,
+                                 corpus_path=path)["clusters"].collect()}
+    assert got == want

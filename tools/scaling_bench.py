@@ -84,7 +84,9 @@ n = corpus.count()
 # ~5 s warmup loads the two parallelism levels asymmetrically.
 run_pipeline(corpus.limit(400), DedupConfig())["clusters"].count()
 t0 = time.time()
-res = run_pipeline(corpus, DedupConfig())
+# corpus_path engages the Python-native columnar feed for the signature
+# stage (pyarrow row-group reads in the workers — no JVM Arrow-IPC feed)
+res = run_pipeline(corpus, DedupConfig(), corpus_path=sys.argv[2])
 nc = res["clusters"].select("cluster_id").distinct().count()
 # deliverables are cluster assignments + the COMPACT verified edge set
 # (representative-level); the quadratic expanded pair surface stays lazy
@@ -141,11 +143,44 @@ def main():
         "speedup": round(med_hi / med_lo, 3),
         "scaling_efficiency": round((med_hi / med_lo) / (hi / lo), 3),
         "deterministic_output": len(sanity) == 1,
+        "feed": "direct",  # protocol tag: python-native columnar feed
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_runs.json"), "w") as f:
-        json.dump({"summary": summary, "runs": results}, f, indent=2, default=str)
-    print(json.dumps(summary))
+    out_path = os.path.join(REPO, "BENCH", "scaling_runs.json")
+    # APPEND sweep history (round-2 finding: overwriting let the headline
+    # quote the best of several protocol-identical sweeps); the summary is
+    # always the LATEST sweep, and the spread across kept sweeps is
+    # reported alongside it.
+    sweeps = []
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            sweeps = prev.get("sweeps") or (
+                [{"summary": prev["summary"], "runs": prev["runs"]}]
+                if "summary" in prev else []
+            )
+        except (json.JSONDecodeError, KeyError):
+            sweeps = []
+    sweeps.append({"summary": summary, "runs": results})
+    # spread covers only protocol-identical sweeps (same cores axis AND
+    # same feed path) — mixing pre-rework sweeps in would be apples/oranges
+    effs = sorted(
+        s_["summary"]["scaling_efficiency"] for s_ in sweeps
+        if s_["summary"].get("cores") == [lo, hi]
+        and s_["summary"].get("feed") == "direct"
+    )
+    spread = {
+        "n_sweeps": len(effs),
+        "min": effs[0],
+        "median": effs[len(effs) // 2] if len(effs) % 2 else round(
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3),
+        "max": effs[-1],
+    }
+    with open(out_path, "w") as f:
+        json.dump({"summary": summary, "efficiency_spread": spread,
+                   "sweeps": sweeps}, f, indent=2, default=str)
+    print(json.dumps({**summary, "efficiency_spread": spread}))
 
 
 if __name__ == "__main__":
