@@ -174,26 +174,55 @@ def compute_signatures(corpus: DataFrame, cfg: DedupConfig,
 
 
 def parquet_scan_tasks(corpus_path: str) -> list:
-    """Driver-side split planning for the Python-native feed: one task per
-    parquet row group (footer metadata only — no data read). The Iceberg
-    analog lists data files + split offsets from the catalog manifest."""
+    """Driver-side split planning for the Python-native feed: one
+    (path, row_group, uncompressed_bytes) triple per parquet row group
+    (footer metadata only — no data read). The Iceberg analog lists data
+    files + split offsets from the catalog manifest."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
-    tasks = []
-    for name in sorted(os.listdir(corpus_path)):
-        if name.endswith(".parquet"):
-            fp = os.path.join(corpus_path, name)
-            n_rg = pq.ParquetFile(fp).metadata.num_row_groups
-            tasks.extend((fp, rg) for rg in range(n_rg))
-    return tasks
+    def footer(fp):
+        md = pq.ParquetFile(fp).metadata
+        return [
+            (fp, rg, md.row_group(rg).total_byte_size)
+            for rg in range(md.num_row_groups)
+        ]
+
+    paths = [
+        os.path.join(corpus_path, name)
+        for name in sorted(os.listdir(corpus_path))
+        if name.endswith(".parquet")
+    ]
+    # serial footer opens cost ~5 ms each — 1.4 s of dead driver time on a
+    # 256-file corpus (event-log measured); a thread pool makes it ~0.1 s
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        return [t for ts in ex.map(footer, paths) for t in ts]
+
+
+def _pack_tasks(tasks: list, n_buckets: int) -> list:
+    """Greedy size-balanced bin packing (largest first, into the lightest
+    bucket) — the same job Spark's FilePartition packing does for JVM
+    scans. Returns a list of [(path, rg), ...] buckets."""
+    import heapq
+
+    n_buckets = max(1, min(n_buckets, len(tasks)))
+    heap = [(0, i) for i in range(n_buckets)]  # (bytes, bucket)
+    heapq.heapify(heap)
+    buckets = [[] for _ in range(n_buckets)]
+    for path, rg, sz in sorted(tasks, key=lambda t: (-t[2], t[0], t[1])):
+        filled, i = heapq.heappop(heap)
+        buckets[i].append((path, rg))
+        heapq.heappush(heap, (filled + sz, i))
+    return [b for b in buckets if b]
 
 
 def compute_signatures_direct(spark, corpus_path: str, cfg: DedupConfig,
                               content_col: str = "content",
                               id_col: str = "file_id",
-                              rows_per_kernel_batch: int = 64) -> DataFrame:
+                              rows_per_kernel_batch: int = 64,
+                              n_tasks: int | None = None) -> DataFrame:
     """Signatures with a PYTHON-NATIVE parquet feed: tasks carry (file,
     row_group) coordinates; each Python worker opens its split with
     pyarrow and streams bytes straight into the kernel.
@@ -217,6 +246,25 @@ def compute_signatures_direct(spark, corpus_path: str, cfg: DedupConfig,
     tasks = parquet_scan_tasks(corpus_path)
     if not tasks:
         raise FileNotFoundError(f"no parquet files under {corpus_path}")
+    # Task granularity matters twice (measured): mapInArrow pays a fixed
+    # per-task cost (~0.14 s even with worker reuse), so row-group-per-task
+    # over small row groups drowns in setup; and a python-RDD-backed task
+    # frame (createDataFrame over parallelize) adds a whole extra
+    # pickled-conversion pass per partition (~10 s on a 256-task corpus).
+    # So: greedy size-balanced buckets, ONE LocalRelation row per bucket
+    # (driver→JVM directly, no python-RDD path), round-robin repartition
+    # to exactly one task per bucket.
+    if n_tasks is None:
+        par = spark.sparkContext.defaultParallelism
+        total = sum(t[2] for t in tasks)
+        # ~2 waves of core-count tasks (uniform corpora: full waves, no
+        # straggler tail), floored by a bytes target for huge inputs;
+        # rounded up to a multiple of the core count so every wave is full
+        n_raw = max(2 * par, int(total // (512 << 20)) + 1)
+        n_tasks = ((n_raw + par - 1) // par) * par
+    buckets = _pack_tasks(tasks, n_tasks)
+
+    bc_buckets = spark.sparkContext.broadcast(buckets)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -224,30 +272,35 @@ def compute_signatures_direct(spark, corpus_path: str, cfg: DedupConfig,
         a = np.asarray(a_list, dtype=np.int64)
         b = np.asarray(b_list, dtype=np.int64)
         for batch in batches:
-            for path, rg in zip(batch.column(0).to_pylist(),
-                                batch.column(1).to_pylist()):
-                pf = pq.ParquetFile(path)
-                # bounded batches: a row group may decompress to hundreds
-                # of MB; use_threads=False — one core per worker, the
-                # parallelism is Spark's
-                for tb in pf.iter_batches(
-                    batch_size=rows_per_kernel_batch,
-                    row_groups=[rg],
-                    columns=[id_col, content_col],
-                    use_threads=False,
-                ):
-                    ids = tb.column(0).to_pylist()
-                    col = tb.column(1)
-                    if pa.types.is_string(col.type):
-                        col = col.cast(pa.binary())  # zero-copy view
-                    elif pa.types.is_large_string(col.type):
-                        col = col.cast(pa.large_binary())
-                    yield _sig_record_batch(ids, col.to_pylist(), a, b, cfg)
+            for bucket_id in batch.column(0).to_pylist():
+                for path, rg in bc_buckets.value[bucket_id]:
+                    pf = pq.ParquetFile(path)
+                    # bounded batches: a row group may decompress to
+                    # hundreds of MB; use_threads=False — one core per
+                    # worker, the parallelism is Spark's
+                    for tb in pf.iter_batches(
+                        batch_size=rows_per_kernel_batch,
+                        row_groups=[rg],
+                        columns=[id_col, content_col],
+                        use_threads=False,
+                    ):
+                        ids = tb.column(0).to_pylist()
+                        col = tb.column(1)
+                        if pa.types.is_string(col.type):
+                            col = col.cast(pa.binary())  # zero-copy view
+                        elif pa.types.is_large_string(col.type):
+                            col = col.cast(pa.large_binary())
+                        yield _sig_record_batch(
+                            ids, col.to_pylist(), a, b, cfg
+                        )
 
-    sc = spark.sparkContext
-    tasks_df = spark.createDataFrame(
-        sc.parallelize(tasks, len(tasks)), "path string, rg int"
-    )
+    # exactly ONE bucket per task, with NO shuffle and NO sampling job:
+    # spark.range(n, numPartitions=n) is a leaf with one id per partition
+    # (round-robin repartition collided — event-log audit found 0-bucket
+    # and 2-bucket tasks, a whole straggler wave at 8 cores — and
+    # repartitionByRange costs a separate range-sampling job); the bucket
+    # payload rides a broadcast, not the rows.
+    tasks_df = spark.range(0, len(buckets), 1, len(buckets))
     return tasks_df.mapInArrow(run, SIG_SCHEMA)
 
 

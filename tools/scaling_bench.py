@@ -163,12 +163,14 @@ def main():
         except (json.JSONDecodeError, KeyError):
             sweeps = []
     sweeps.append({"summary": summary, "runs": results})
-    # spread covers only protocol-identical sweeps (same cores axis AND
-    # same feed path) — mixing pre-rework sweeps in would be apples/oranges
+    # spread covers only protocol-identical sweeps (same cores axis, same
+    # feed path, same corpus shape) — anything else is apples/oranges
     effs = sorted(
         s_["summary"]["scaling_efficiency"] for s_ in sweeps
         if s_["summary"].get("cores") == [lo, hi]
         and s_["summary"].get("feed") == "direct"
+        and s_["summary"].get("n_files") == n_files
+        and s_["summary"].get("file_chars") == target
     )
     spread = {
         "n_sweeps": len(effs),
