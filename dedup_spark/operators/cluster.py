@@ -64,13 +64,21 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25,
-                         n_partitions: int | None = None) -> DataFrame:
+                         n_partitions: int | None = None,
+                         edges_canonical: bool = False) -> DataFrame:
     """Return (file_id, cluster_id) for every vertex appearing in edges.
 
     ``n_partitions`` sizes the per-round shuffles. The star rounds flatten
     the edge set drastically after round one, so a small fixed width avoids
     paying hundreds of near-empty tasks per round; at true cluster scale
     pass something proportional to the edge count.
+
+    ``edges_canonical``: caller guarantees (src < dst, no self-loops, no
+    duplicates) — skips the canonicalization shuffle (one exchange + agg
+    over the full edge set). The pipeline's CC input qualifies by
+    construction: group star pairs are (rep=group-min, member) and
+    verified rep edges are least/greatest-ordered distinct pairs, and the
+    two sets are disjoint (same-group vs cross-group endpoints).
     """
     spark = edges.sparkSession
     if n_partitions is None:
@@ -78,7 +86,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
     try:
-        return _cc_loop(edges, max_iter, n_partitions)
+        return _cc_loop(edges, max_iter, n_partitions, edges_canonical)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
@@ -110,22 +118,32 @@ def _assign_df(spark, assign: dict) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
-def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
+def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int,
+             edges_canonical: bool = False) -> DataFrame:
     from pyspark import StorageLevel
 
     spark = edges.sparkSession
     # persist BEFORE the probe: on the big-graph branch the probe's partial
     # compute is reused by the localCheckpoint instead of re-deriving the
     # whole canon lineage (which may be an expensive pair-gen pipeline)
-    canon = _canon(edges).persist(StorageLevel.DISK_ONLY)
-    # Fast path: small graphs skip the distributed rounds entirely — ONE
-    # limit-guarded collect (no separate count job), union-find on the
-    # driver, one createDataFrame back. The limit probe is the size test:
-    # getting <= threshold rows back means we got ALL rows.
-    probe = canon.limit(DRIVER_FINALIZE_EDGES + 1).collect()
-    if len(probe) <= DRIVER_FINALIZE_EDGES:
+    canon = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        if edges_canonical else _canon(edges)
+    ).persist(StorageLevel.DISK_ONLY)
+    # Fast path: small graphs skip the distributed rounds entirely.
+    # Size test = count(), NOT limit(N+1).collect(): CollectLimit scale-up
+    # runs a ladder of incremental jobs AND short-circuits partition
+    # iterators, so the persist is left partially populated and every rung
+    # re-derives upstream (event-log measured: 6 jobs, ~4.4 s of re-scan
+    # at 8 cores on a 66k-edge graph). count() is one clean job that fully
+    # materializes the cache; the Arrow collect then reads cache only.
+    n_edges = canon.count()
+    if n_edges <= DRIVER_FINALIZE_EDGES:
+        pdf = canon.toPandas()
         canon.unpersist()
-        assign = _assign_from_edges([(r[0], r[1]) for r in probe])
+        assign = _assign_from_edges(
+            list(zip(pdf["u"].tolist(), pdf["v"].tolist()))
+        )
         return _assign_df(spark, assign)
 
     e = canon.repartition(n_partitions).localCheckpoint(eager=True)
@@ -158,8 +176,9 @@ def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
         if sig[0] <= DRIVER_FINALIZE_EDGES:
             # small remainder: finish on the driver (saves the last few
             # rounds of stage-barrier latency)
+            pdf = e.select("u", "v").toPandas()
             assign = _assign_from_edges(
-                [(r[0], r[1]) for r in e.select("u", "v").collect()]
+                list(zip(pdf["u"].tolist(), pdf["v"].tolist()))
             )
             return _assign_df(spark, assign)
     if not converged:
@@ -181,10 +200,12 @@ def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
 
 
 def cluster_assignments(corpus_ids: DataFrame, edges: DataFrame,
-                        max_iter: int = 25) -> DataFrame:
+                        max_iter: int = 25,
+                        edges_canonical: bool = False) -> DataFrame:
     """All files → cluster id; files with no verified edge are singleton
     clusters (cluster_id = own file_id)."""
-    cc = connected_components(edges, max_iter=max_iter)
+    cc = connected_components(edges, max_iter=max_iter,
+                              edges_canonical=edges_canonical)
     return (
         corpus_ids.select("file_id")
         .join(cc, "file_id", "left")

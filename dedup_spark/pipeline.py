@@ -177,11 +177,15 @@ def run_pipeline(
             return df
         # no checkpoint dir: persist multi-consumer stages so the
         # chunk+signature scan runs once, not once per downstream action.
-        # DISK_ONLY: deserialized in-heap caching of the array-heavy
-        # signature rows caused measurable GC thrash (24s GC in one
-        # downstream stage at 5 GB); the local dir is tmpfs so "disk"
-        # reads are page-cache speed.
-        return df.persist(StorageLevel.DISK_ONLY)
+        # MEMORY_AND_DISK_DESER (A/B-measured vs DISK_ONLY, both core
+        # counts): the persisted signature frame is bounded by the sketch
+        # caps (~10 KB/row whatever the file sizes), so it always fits the
+        # heap, and the serialized-batch disk round-trip per tail scan was
+        # pure overhead. The env knob exists for memory-tight deployments.
+        lvl = getattr(StorageLevel,
+                      os.environ.get("DEDUP_PERSIST_LEVEL",
+                                     "MEMORY_AND_DISK_DESER"))
+        return df.persist(lvl)
 
     from .operators.groups import (
         expand_group_edges, group_star_pairs, representative_ids,
@@ -209,6 +213,7 @@ def run_pipeline(
         signatures = stage("signatures", _signatures)
         groups = stage("groups", lambda: sketch_groups(signatures))
         rep_sigs = signatures.join(representative_ids(groups), "file_id")
+        verify_side = rep_sigs
     else:
         # fused plan: ONE wide exchange (window over the full signature
         # rows) yields signatures, groups, and rep_sigs as projections of
@@ -218,12 +223,25 @@ def run_pipeline(
         sig_groups = stage(
             "sig_groups", lambda: with_groups(_signatures())
         )
+        # Materialize the persist NOW, in one dedicated job: the first
+        # downstream action otherwise races its non-AQE broadcast-subquery
+        # futures (LSH over-cap key scan) against its own main job, and
+        # two concurrent jobs pulling an unpopulated cache compute the
+        # signature kernel twice while thrashing the executor cores
+        # (event-log measured: two overlapping ~10 s jobs at local[8]).
+        # count() scans every partition fully, unlike a limit probe, so
+        # the cache is complete before any consumer plans against it.
+        # (A separate narrow "core" cache without the shingle arrays was
+        # measured too: the extra cache-build pass cost more than the
+        # narrower tail scans saved.)
+        sig_groups.count()
         signatures = sig_groups.drop(*_GROUP_COLS)
         groups = sig_groups.select("file_id", *_GROUP_COLS)
         rep_sigs = sig_groups.where(
             F.col("file_id") == F.col("rep")
         ).drop(*_GROUP_COLS)
-    shingles = rep_sigs.select("file_id", "shingles")
+        verify_side = rep_sigs
+    shingles = verify_side.select("file_id", "shingles")
     pairs = stage(
         "candidates", lambda: candidate_pairs(rep_sigs, cfg), persist=False
     )
@@ -232,7 +250,7 @@ def run_pipeline(
     # resume=True silently load a pre-contraction member-level checkpoint
     # whose non-representative endpoints vanish in the expansion join.
     edges_rep = stage(
-        "edges_rep", lambda: verify_pairs(pairs, rep_sigs, shingles, cfg)
+        "edges_rep", lambda: verify_pairs(pairs, verify_side, shingles, cfg)
     )
 
     if cfg.min_lcs > 0:
@@ -258,10 +276,23 @@ def run_pipeline(
             edges_rep.where("verified").select("src", "dst")
         )
 
+    # cluster over ids from the signature-derived frames (one row per
+    # corpus row by construction of the kernel) — re-scanning the corpus
+    # parquet for one column costs a listing + footer + scan pass per run.
+    # with_groups keeps zero-shingle files (unique group keys), so the
+    # no-workdir 'groups' projection is a complete id universe; the
+    # checkpointed sketch_groups frame excludes them, so the workdir path
+    # reads ids off the signatures checkpoint instead.
+    id_frame = signatures if workdir else groups
+    # star pairs (rep=group-min < member) and verified rep edges
+    # (least/greatest distinct, cross-group) are canonical and disjoint by
+    # construction, so CC may skip its canonicalization exchange; the
+    # LCS-gated member-level set is not proven so and keeps the default.
     clusters = stage(
         "clusters",
         lambda: cluster_assignments(
-            corpus.select(F.col(id_col).alias("file_id")), cluster_input
+            id_frame.select("file_id"), cluster_input,
+            edges_canonical=cfg.min_lcs <= 0
         ),
     )
     return {
