@@ -267,12 +267,23 @@ def compute_signatures_direct(spark, corpus_path: str, cfg: DedupConfig,
     bc_buckets = spark.sparkContext.broadcast(buckets)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import json
+        import os
+        import time
+
         import pyarrow.parquet as pq
+
+        # env-gated worker-side profiling (scaling forensics): one jsonl
+        # line per bucket with wall + process-CPU, written outside the
+        # data path. Zero overhead when SIG_PROF is unset.
+        prof_dir = os.environ.get("SIG_PROF")
 
         a = np.asarray(a_list, dtype=np.int64)
         b = np.asarray(b_list, dtype=np.int64)
         for batch in batches:
             for bucket_id in batch.column(0).to_pylist():
+                if prof_dir:
+                    t0w, t0c = time.time(), time.process_time()
                 for path, rg in bc_buckets.value[bucket_id]:
                     pf = pq.ParquetFile(path)
                     # bounded batches: a row group may decompress to
@@ -293,6 +304,17 @@ def compute_signatures_direct(spark, corpus_path: str, cfg: DedupConfig,
                         yield _sig_record_batch(
                             ids, col.to_pylist(), a, b, cfg
                         )
+                if prof_dir:
+                    line = json.dumps({
+                        "bucket": bucket_id, "pid": os.getpid(),
+                        "wall": round(time.time() - t0w, 3),
+                        "cpu": round(time.process_time() - t0c, 3),
+                        "end": round(time.time(), 3),
+                    })
+                    os.makedirs(prof_dir, exist_ok=True)
+                    with open(os.path.join(
+                            prof_dir, f"{os.getpid()}.jsonl"), "a") as fh:
+                        fh.write(line + "\n")
 
     # exactly ONE bucket per task, with NO shuffle and NO sampling job:
     # spark.range(n, numPartitions=n) is a leaf with one id per partition

@@ -268,3 +268,31 @@ def test_cc_distributed_loop_matches_driver_path(spark, monkeypatch):
     assert got == want
     # sanity: the chain really is one component rooted at 0
     assert (59, 0) in got and (107, 100) in got
+
+
+def test_cc_edges_canonical_flag_equivalence(spark):
+    """edges_canonical=True (pipeline fast path: skips the canonicalization
+    exchange) must produce identical clusters to the default path when the
+    input really is canonical — and the default path must canonicalize a
+    messy edge list (reversed, duplicated, self-loop) to the same answer."""
+    from dedup_spark.operators.cluster import cluster_assignments
+
+    canonical = [(0, 1), (1, 2), (5, 6), (8, 9)]
+    messy = canonical + [(2, 1), (1, 0), (6, 5), (7, 7)]
+    ids = spark.range(0, 10).select(F.col("id").alias("file_id"))
+
+    fast = {
+        (r["file_id"], r["cluster_id"])
+        for r in cluster_assignments(
+            ids, spark.createDataFrame(canonical, "src long, dst long"),
+            edges_canonical=True,
+        ).collect()
+    }
+    safe = {
+        (r["file_id"], r["cluster_id"])
+        for r in cluster_assignments(
+            ids, spark.createDataFrame(messy, "src long, dst long")
+        ).collect()
+    }
+    assert fast == safe
+    assert (2, 0) in fast and (9, 8) in fast and (7, 7) in fast

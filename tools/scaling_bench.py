@@ -52,9 +52,35 @@ spark.stop()
 """
 
 CHILD = r"""
-import json, sys, time
+import hashlib, json, sys, time
 sys.path.insert(0, "__REPO__")
 cores = int(sys.argv[1])
+
+def calib():
+    # host-performance canary, single thread, allocation-free: [cpu, mem]
+    # = blake2b MB/s over a 1 MB buffer + bandwidth MB/s of an 8 MB
+    # preallocated numpy add. This VM's host shows multi-minute
+    # performance drift (identical work costs up to +35% process-CPU in
+    # bad windows — measured via worker-side process_time, steal ~0); the
+    # canary makes each measurement's host window visible in the record.
+    import numpy as np
+    buf = b"\xa5" * (1 << 20)
+    t0 = time.process_time()
+    reps = 0
+    while time.process_time() - t0 < 0.3:
+        hashlib.blake2b(buf, digest_size=8).digest()
+        reps += 1
+    cpu = reps / (time.process_time() - t0)
+    a = np.ones(1 << 20, np.int64)
+    b = np.ones(1 << 20, np.int64)
+    out = np.empty(1 << 20, np.int64)
+    t0 = time.process_time()
+    reps = 0
+    while time.process_time() - t0 < 0.3:
+        np.add(a, b, out=out)
+        reps += 1
+    mem = reps * 8 / (time.process_time() - t0)
+    return [round(cpu, 1), round(mem, 1)]
 from pyspark.sql import SparkSession
 from dedup_spark.session import _local_dir, package_zip
 from dedup_spark.config import DedupConfig
@@ -83,6 +109,7 @@ n = corpus.count()
 # once-per-JVM cost a production job amortizes; without it the fixed
 # ~5 s warmup loads the two parallelism levels asymmetrically.
 run_pipeline(corpus.limit(400), DedupConfig())["clusters"].count()
+c_before = calib()
 t0 = time.time()
 # corpus_path engages the Python-native columnar feed for the signature
 # stage (pyarrow row-group reads in the workers — no JVM Arrow-IPC feed)
@@ -94,6 +121,7 @@ ne = res["edges_rep"].where("verified").count()
 wall = time.time() - t0
 print(json.dumps({"cores": cores, "wall": round(wall, 1),
                   "files_per_sec": round(n / wall, 1),
+                  "calib": [c_before, calib()],
                   "n": n, "edges": ne, "clusters": nc}))
 spark.stop()
 """
@@ -114,7 +142,11 @@ def main():
 
     results = {lo: [], hi: []}
     for rep in range(reps):
-        for cores in (lo, hi):
+        # alternate measurement order between reps: this VM shows slow
+        # multi-minute host-load drift (±20-30% wall on identical runs),
+        # and a fixed lo-then-hi order would alias that drift into the
+        # ratio; alternation cancels it to first order
+        for cores in (lo, hi) if rep % 2 == 0 else (hi, lo):
             out = subprocess.run(
                 ["taskset", "-c", f"0-{cores - 1}",
                  sys.executable, "-c", CHILD.replace("__REPO__", REPO),
@@ -128,7 +160,8 @@ def main():
             r = json.loads(line[-1])
             results[cores].append(r)
             print(f"rep{rep} local[{cores}]: {r['wall']}s "
-                  f"{r['files_per_sec']} files/s", file=sys.stderr)
+                  f"{r['files_per_sec']} files/s calib={r.get('calib')}",
+                  file=sys.stderr)
 
     med_lo = statistics.median(r["files_per_sec"] for r in results[lo])
     med_hi = statistics.median(r["files_per_sec"] for r in results[hi])
