@@ -314,12 +314,14 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"mh{i}" for i in range(_K16)],
     )
     # four consumers (reps→bands, mem twice, within) would each replan the
-    # whole signature scan+window; persist materializes it ONCE. DISK_ONLY:
-    # local dir is tmpfs, and deserialized in-heap caching of wide rows is
-    # GC-hostile (round-1 finding).
+    # whole signature scan+window; persist materializes it ONCE, and the
+    # eager count() barrier keeps concurrent consumer jobs (non-AQE
+    # broadcast futures) from racing the unpopulated cache into double
+    # compute (same event-log-measured pattern as dedup_spark/pipeline.py).
     from pyspark import StorageLevel
 
-    members = members.persist(StorageLevel.DISK_ONLY)
+    members = members.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    members.count()
     reps = members.where(F.col("doc_id") == F.col("rep"))
     band_arr = F.array(
         *[
@@ -469,14 +471,19 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver SFs every gram is far below the cap, so results are identical to
     the exact SQL twin (which applies the same df cap)."""
     d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
-    toks = F.split(F.trim("text"), r"\s+")
+    # materialize the token array in its OWN projection: referencing the
+    # split() expression from the size guard, the sequence bound, and the
+    # gram lambda re-runs the regex split per reference (no CSE across
+    # the expression tree) — measured 7x on the gram build (4.9 s→0.7 s)
+    dt = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    toks = F.col("toks")
     # docs with <3 tokens yield zero grams (sequence(1,0) would otherwise
     # expand DESCENDING to [1,0] and slice(toks,0,3) throws — matches the
     # DuckDB generate_series semantics which emits nothing)
     gram_idx = F.when(
         F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)
     ).otherwise(F.array().cast("array<int>"))
-    grams = d.select(
+    grams = dt.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -484,11 +491,21 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ng"),
     ).where(F.col("ng") != "").select("doc_id", F.xxhash64("ng").alias("gh"))
+    from pyspark import StorageLevel
+
     postings = (
         grams.groupBy("gh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") <= _MAX_GRAM_DF)
+        # three consumers (pair-gen + the src/dst size joins) — without a
+        # persist the gram aggregation plans THREE times (measured: zero
+        # ReusedExchange, 2.2x query wall). Eager count = materialization
+        # barrier, so the size-join broadcast futures can't race the
+        # unpopulated cache into double compute (same pattern, and same
+        # event-log evidence, as dedup_spark/pipeline.py).
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    postings.count()
     sizes = postings.select(F.explode("ids").alias("doc_id")).groupBy(
         "doc_id"
     ).agg(F.count("*").alias("n"))
