@@ -165,6 +165,23 @@ def main():
 
     med_lo = statistics.median(r["files_per_sec"] for r in results[lo])
     med_hi = statistics.median(r["files_per_sec"] for r in results[hi])
+    # clean-window medians: the host is bimodal (memory bandwidth canary
+    # ~3500-8000 MB/s in its normal mode vs 10-25 MB/s degraded — see
+    # BENCH/BASELINE.md §4); a run bracketed by a degraded canary measures
+    # the host, not the code. Both medians are reported; the all-reps one
+    # stays the official headline.
+    def clean(rs):
+        out = [r for r in rs
+               if min(c[1] for c in r.get("calib", [[0, 1e9]])) >= 1000]
+        return out
+
+    clean_lo, clean_hi = clean(results[lo]), clean(results[hi])
+    clean_eff = None
+    if clean_lo and clean_hi:
+        clean_eff = round(
+            (statistics.median(r["files_per_sec"] for r in clean_hi)
+             / statistics.median(r["files_per_sec"] for r in clean_lo))
+            / (hi / lo), 3)
     sanity = {(r["edges"], r["clusters"]) for rs in results.values() for r in rs}
     summary = {
         "n_files": n_files,
@@ -175,6 +192,8 @@ def main():
         f"files_per_sec_local{hi}": med_hi,
         "speedup": round(med_hi / med_lo, 3),
         "scaling_efficiency": round((med_hi / med_lo) / (hi / lo), 3),
+        "clean_window_efficiency": clean_eff,
+        "clean_reps": [len(clean_lo), len(clean_hi)],
         "deterministic_output": len(sanity) == 1,
         "feed": "direct",  # protocol tag: python-native columnar feed
     }
