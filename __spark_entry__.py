@@ -268,12 +268,16 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split(F.trim("text"), r"\s+"))
         ).alias("tok"),
     )
-    h = _tok_hash_spark(F.col("tok"))
+    # materialize the md5-based token hash ONCE per row: embedding the
+    # hash expression in all 16 aggregates re-computes md5+conv per
+    # aggregate (no CSE across aggregate expressions — same Catalyst
+    # behavior as the ngram split fix; measured ~40% off the query)
+    tokh = toks.select("doc_id", _tok_hash_spark(F.col("tok")).alias("h"))
     aggs = [
-        F.min((F.lit(a[i]) * h + F.lit(b[i])) % _P31).alias(f"mh{i}")
+        F.min((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % _P31).alias(f"mh{i}")
         for i in range(_K16)
     ]
-    return toks.groupBy("doc_id").agg(*aggs)
+    return tokh.groupBy("doc_id").agg(*aggs)
 
 
 def _minhash_sql() -> str:
@@ -420,15 +424,21 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok"),
-    ).distinct()
-    h = _tok_hash_spark(F.col("tok"))
+    )
+    # no row-level .distinct(): array_distinct already dedupes within the
+    # doc, so (doc_id, tok) rows are unique by construction — the full
+    # dedup shuffle bought nothing (vote multiset == vote set here).
+    # hash materialized once per row — embedded in 32 vote aggregates it
+    # would re-run md5+conv per aggregate (no CSE across agg expressions)
+    tokh = toks.select("doc_id", _tok_hash_spark(F.col("tok")).alias("h"))
     votes = [
         F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
         ).alias(f"v{j}")
         for j in range(32)
     ]
-    voted = toks.groupBy("doc_id").agg(*votes)
+    voted = tokh.groupBy("doc_id").agg(*votes)
     sim = None
     for j in range(32):
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
