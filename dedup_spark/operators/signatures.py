@@ -265,6 +265,15 @@ def compute_signatures_direct(spark, corpus_path: str, cfg: DedupConfig,
     buckets = _pack_tasks(tasks, n_tasks)
 
     bc_buckets = spark.sparkContext.broadcast(buckets)
+    # worker wall/CPU totals ride accumulators (per-task delivery, ~zero
+    # overhead): feed_metrics()["cpu_s"] after an action gives the exact
+    # Python-side cost of the feed+kernel — the mid-run host-health
+    # signal an endpoint canary cannot see (this VM's host flips
+    # performance modes mid-run; BENCH/BASELINE.md §4).
+    wall_acc = spark.sparkContext.accumulator(0.0)
+    cpu_acc = spark.sparkContext.accumulator(0.0)
+    global _LAST_FEED_ACCS
+    _LAST_FEED_ACCS = {"wall_s": wall_acc, "cpu_s": cpu_acc}
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import json
@@ -282,8 +291,7 @@ def compute_signatures_direct(spark, corpus_path: str, cfg: DedupConfig,
         b = np.asarray(b_list, dtype=np.int64)
         for batch in batches:
             for bucket_id in batch.column(0).to_pylist():
-                if prof_dir:
-                    t0w, t0c = time.time(), time.process_time()
+                t0w, t0c = time.time(), time.process_time()
                 for path, rg in bc_buckets.value[bucket_id]:
                     pf = pq.ParquetFile(path)
                     # bounded batches: a row group may decompress to
@@ -304,11 +312,14 @@ def compute_signatures_direct(spark, corpus_path: str, cfg: DedupConfig,
                         yield _sig_record_batch(
                             ids, col.to_pylist(), a, b, cfg
                         )
+                dw = time.time() - t0w
+                dc = time.process_time() - t0c
+                wall_acc.add(dw)
+                cpu_acc.add(dc)
                 if prof_dir:
                     line = json.dumps({
                         "bucket": bucket_id, "pid": os.getpid(),
-                        "wall": round(time.time() - t0w, 3),
-                        "cpu": round(time.process_time() - t0c, 3),
+                        "wall": round(dw, 3), "cpu": round(dc, 3),
                         "end": round(time.time(), 3),
                     })
                     os.makedirs(prof_dir, exist_ok=True)
@@ -324,6 +335,19 @@ def compute_signatures_direct(spark, corpus_path: str, cfg: DedupConfig,
     # payload rides a broadcast, not the rows.
     tasks_df = spark.range(0, len(buckets), 1, len(buckets))
     return tasks_df.mapInArrow(run, SIG_SCHEMA)
+
+
+_LAST_FEED_ACCS: dict | None = None
+
+
+def feed_metrics() -> dict | None:
+    """Worker wall/CPU totals of the most recent
+    ``compute_signatures_direct`` plan, valid after an action has run it:
+    ``{"wall_s": float, "cpu_s": float}``. None if the direct feed has
+    not been built in this process."""
+    if _LAST_FEED_ACCS is None:
+        return None
+    return {k: round(float(v.value), 2) for k, v in _LAST_FEED_ACCS.items()}
 
 
 def minhash_jaccard_est(col_a: str, col_b: str, k: int):

@@ -119,9 +119,14 @@ nc = res["clusters"].select("cluster_id").distinct().count()
 # (representative-level); the quadratic expanded pair surface stays lazy
 ne = res["edges_rep"].where("verified").count()
 wall = time.time() - t0
+from dedup_spark.operators.signatures import feed_metrics
 print(json.dumps({"cores": cores, "wall": round(wall, 1),
                   "files_per_sec": round(n / wall, 1),
                   "calib": [c_before, calib()],
+                  # exact Python-side feed+kernel cost of THIS run — the
+                  # in-run host-health record (identical work across runs,
+                  # so cpu_s inflation = host degradation, not code)
+                  "feed_workers": feed_metrics(),
                   "n": n, "edges": ne, "clusters": nc}))
 spark.stop()
 """
