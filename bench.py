@@ -58,6 +58,9 @@ def main():
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+    # drop the module's persisted intermediates (shared token-hash frame,
+    # band/postings caches) so they stop competing for executor memory
+    entry_mod.release_caches()
 
     files_per_sec = round(n_corpus / e2e, 1)
     out = {

@@ -34,15 +34,25 @@ from pyspark.sql import functions as F
 from .lsh import _PAIRS_IN_LIST  # shared pair-enumeration expression
 
 
-def sketch_groups(signatures: DataFrame) -> DataFrame:
-    """(file_id, g1, g2, rep, group_size): rep = min file_id among files
-    with an identical full signature (sketch + minhash + simhash). Files
-    with no shingles are excluded (they never participate in matching)."""
-    keyed = signatures.where(F.col("n_shingles") > 0).select(
+def group_keys(signatures: DataFrame) -> DataFrame:
+    """(file_id, g1, g2): the 128-bit full-signature group key, computed
+    PER ROW with no shuffle — the narrow building block shared by
+    ``sketch_groups`` (batch) and the incremental fold's group-delta state
+    (streaming.py), which folds per-batch key aggregates instead of
+    re-windowing the cumulative signature table. Files with no shingles
+    are excluded (they never participate in matching)."""
+    return signatures.where(F.col("n_shingles") > 0).select(
         "file_id",
         F.xxhash64("shingles", "minhash", "simhash").alias("g1"),
         F.xxhash64(F.lit(1), "shingles", "minhash", "simhash").alias("g2"),
     )
+
+
+def sketch_groups(signatures: DataFrame) -> DataFrame:
+    """(file_id, g1, g2, rep, group_size): rep = min file_id among files
+    with an identical full signature (sketch + minhash + simhash). Files
+    with no shingles are excluded (they never participate in matching)."""
+    keyed = group_keys(signatures)
     # window (not groupBy + join-back): ONE scan of the signature frame and
     # ONE exchange on the 128-bit group key
     w = Window.partitionBy("g1", "g2")

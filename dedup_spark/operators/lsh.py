@@ -96,9 +96,28 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     and surfaced in the metrics frame — explicit, logged skew handling
     instead of a silent quadratic blow-up.
     """
-    buckets = band_buckets(signatures, cfg)
-    max_b = cfg.max_bucket
-    salt_cap = max_b * max(1, cfg.salt)
+    return salted_pairs(
+        band_buckets(signatures, cfg), cfg.max_bucket, cfg.salt,
+        return_metrics=return_metrics,
+    )
+
+
+def salted_pairs(buckets: DataFrame, max_b: int, salt: int,
+                 key_cols: tuple[str, ...] = ("band_id", "band_hash"),
+                 id_col: str = "file_id",
+                 return_metrics: bool = False):
+    """The skew-laddered pair generator over arbitrary bucket frames.
+
+    ``buckets`` holds one row per (bucket key, member id); key columns and
+    the id column are parametric so every bucketed pair-gen in the repo
+    (MinHash band buckets, the entry-level SQL-parity band twin, salted
+    block tests) shares ONE implementation of the ladder:
+      size ≤ max_b        → direct in-partition pair-gen
+      size ≤ max_b·salt   → salted blocks, ≤ ~2·max_b members per task
+      size > max_b·salt   → dropped, surfaced in the metrics frame
+    """
+    keys = list(key_cols)
+    salt_cap = max_b * max(1, salt)
     # mega-bucket pre-filter (ADVICE r2): the window pass buffers each
     # bucket in ONE task's spillable array, so a power-law boilerplate band
     # would serialize a whole task on rows that are dropped anyway. A
@@ -108,16 +127,12 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     # keys are bounded by total_rows/salt_cap (each needs >salt_cap rows),
     # so the broadcast side stays tiny by construction.
     hot = (
-        buckets.groupBy("band_id", "band_hash")
+        buckets.groupBy(*keys)
         .agg(F.count("*").alias("bucket_size"))
         .where(F.col("bucket_size") > salt_cap)
     )
-    cold = buckets.join(
-        F.broadcast(hot.select("band_id", "band_hash")),
-        ["band_id", "band_hash"],
-        "left_anti",
-    )
-    w = Window.partitionBy("band_id", "band_hash")
+    cold = buckets.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+    w = Window.partitionBy(*keys)
     counted = cold.withColumn("bucket_size", F.count("*").over(w)).where(
         F.col("bucket_size") >= 2
     )
@@ -128,15 +143,13 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     # cross-pair their two disjoint lists ("l"/"r" by block order).
     nb = F.ceil(F.col("bucket_size") / max_b).cast("int")
     tasked = counted.select(
-        "band_id",
-        "band_hash",
-        "file_id",
-        F.pmod(F.xxhash64("file_id"), nb).cast("int").alias("blk"),
+        *keys,
+        id_col,
+        F.pmod(F.xxhash64(id_col), nb).cast("int").alias("blk"),
         F.explode(F.sequence(F.lit(0), nb - 1)).alias("t"),
     ).select(
-        "band_id",
-        "band_hash",
-        "file_id",
+        *keys,
+        id_col,
         F.least("blk", "t").alias("bi"),
         F.greatest("blk", "t").alias("bj"),
         F.when(F.col("blk") == F.col("t"), F.lit("d"))
@@ -147,12 +160,12 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     # no sort_array: pair canonicalization is least/greatest inside the
     # pair expressions, and the trailing distinct dedupes — list order is
     # irrelevant (and sorting every bucket was measurable CPU)
-    groups = tasked.groupBy("band_id", "band_hash", "bi", "bj").agg(
+    groups = tasked.groupBy(*keys, "bi", "bj").agg(
         F.collect_list(
-            F.when(F.col("side") != "r", F.col("file_id"))
+            F.when(F.col("side") != "r", F.col(id_col))
         ).alias("ids"),
         F.collect_list(
-            F.when(F.col("side") == "r", F.col("file_id"))
+            F.when(F.col("side") == "r", F.col(id_col))
         ).alias("ids_r"),
     )
     pairs = (

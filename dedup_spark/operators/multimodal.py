@@ -55,16 +55,24 @@ def _real_decode(payload: bytes, kind: str, n_dims: int = 16) -> list[float]:
     """Real decode→feature-extract for images: PIL decode, grayscale
     thumbnail, unit-norm pixel vector. Only reachable when PIL imported
     (REAL_DECODERS); non-image kinds fall back to the fake until an
-    audio/video lib is probed the same way."""
+    audio/video lib is probed the same way. A corrupt/undecodable payload
+    must not fail the whole stage after task retries (ADVICE r3), so
+    decode errors degrade to the deterministic fake vector per row —
+    a web-scale media corpus always contains broken blobs."""
     if kind != "image" or _PILImage is None:
         return _fake_decode(payload, kind, n_dims)
     import io
     import math
 
-    img = _PILImage.open(io.BytesIO(payload)).convert("L")
-    side = max(1, int(math.isqrt(n_dims)))
-    img = img.resize((side, max(1, n_dims // side)))
-    vals = [p / 255.0 - 0.5 for p in img.getdata()][:n_dims]
+    try:
+        img = _PILImage.open(io.BytesIO(payload)).convert("L")
+        side = max(1, int(math.isqrt(n_dims)))
+        img = img.resize((side, max(1, n_dims // side)))
+        vals = [p / 255.0 - 0.5 for p in img.getdata()][:n_dims]
+    except Exception:
+        # PIL raises UnidentifiedImageError/OSError/ValueError depending
+        # on how the payload is broken; all of them mean "not decodable"
+        return _fake_decode(payload, kind, n_dims)
     vals += [0.0] * (n_dims - len(vals))
     norm = sum(v * v for v in vals) ** 0.5 or 1.0
     return [v / norm for v in vals]

@@ -57,38 +57,89 @@ def shingle_sets(corpus: DataFrame, cfg: DedupConfig,
 
 
 def verify_pairs(pairs: DataFrame, signatures: DataFrame,
-                 shingles: DataFrame, cfg: DedupConfig) -> DataFrame:
+                 shingles: DataFrame, cfg: DedupConfig,
+                 two_phase: bool | None = None) -> DataFrame:
     """pairs (src,dst) → verified edges with exact Jaccard.
 
     Returns (src, dst, hamming, jaccard, verified).
+
+    Size-tiered shuffle (the 100 TB lever on the verify stage): when the
+    hamming gate is active (``simhash_hamming_max < 64``) the pair rows
+    first join only the 8-byte simhash per endpoint, and the ~8 KB
+    bottom-k shingle sketches (config.py max_shingles) are joined ONLY for
+    the pairs that survive the gate — pair-row shuffle payload through the
+    wide joins drops from ~2·8 KB·|pairs| to ~16 B·|pairs| +
+    8 KB·|survivors|. With the gate off (the default decider is exact
+    Jaccard) two narrow extra joins buy nothing, so the single-phase plan
+    is kept; ``two_phase`` overrides the auto choice for A/B measurement.
     """
-    # one join per pair side: simhash and the shingle set ride together —
-    # they come from the same signature row, and two separate joins per
-    # side would double the exchanges for no benefit. The kernel emits
+    if two_phase is None:
+        two_phase = cfg.simhash_hamming_max < 64
+    # simhash and the shingle set come from the same signature row; in the
+    # single-phase plan they ride one join per pair side. The kernel emits
     # shingle sketches via np.unique (sorted + distinct already), so no
     # array_distinct pass is needed here.
-    if "shingles" in signatures.columns:
-        side = signatures.select(
-            "file_id", "simhash", F.col("shingles").alias("shingle_set")
+    has_sketch = "shingles" in signatures.columns
+    if two_phase:
+        narrow = signatures.select("file_id", "simhash")
+        gated = (
+            pairs
+            .join(narrow.withColumnsRenamed(
+                {"file_id": "src", "simhash": "simhash_src"}), "src")
+            .join(narrow.withColumnsRenamed(
+                {"file_id": "dst", "simhash": "simhash_dst"}), "dst")
+            .withColumn(
+                "hamming",
+                F.bit_count(
+                    F.col("simhash_src").bitwiseXOR(F.col("simhash_dst"))
+                ),
+            )
+            .where(F.col("hamming") <= cfg.simhash_hamming_max)
+            .select("src", "dst", "hamming")
+        )
+        sketch_src = signatures if has_sketch else shingles
+        sets = sketch_src.select(
+            "file_id", F.col("shingles").alias("shingle_set")
+        )
+        e = (
+            gated
+            .join(sets.withColumnsRenamed(
+                {"file_id": "src", "shingle_set": "set_src"}), "src")
+            .join(sets.withColumnsRenamed(
+                {"file_id": "dst", "shingle_set": "set_dst"}), "dst")
         )
     else:
-        side = signatures.select("file_id", "simhash").join(
-            shingles.select("file_id", F.col("shingles").alias("shingle_set")),
-            "file_id",
+        if has_sketch:
+            side = signatures.select(
+                "file_id", "simhash", F.col("shingles").alias("shingle_set")
+            )
+        else:
+            side = signatures.select("file_id", "simhash").join(
+                shingles.select(
+                    "file_id", F.col("shingles").alias("shingle_set")
+                ),
+                "file_id",
+            )
+        e = (
+            pairs
+            .join(side.withColumnsRenamed({
+                "file_id": "src", "simhash": "simhash_src",
+                "shingle_set": "set_src",
+            }), "src")
+            .join(side.withColumnsRenamed({
+                "file_id": "dst", "simhash": "simhash_dst",
+                "shingle_set": "set_dst",
+            }), "dst")
+            .withColumn(
+                "hamming",
+                F.bit_count(
+                    F.col("simhash_src").bitwiseXOR(F.col("simhash_dst"))
+                ),
+            )
+            .where(F.col("hamming") <= cfg.simhash_hamming_max)
         )
-    e = (
-        pairs
-        .join(side.withColumnsRenamed({
-            "file_id": "src", "simhash": "simhash_src", "shingle_set": "set_src",
-        }), "src")
-        .join(side.withColumnsRenamed({
-            "file_id": "dst", "simhash": "simhash_dst", "shingle_set": "set_dst",
-        }), "dst")
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("simhash_src").bitwiseXOR(F.col("simhash_dst"))),
-        )
-        .where(F.col("hamming") <= cfg.simhash_hamming_max)
+    return (
+        e
         .withColumn("n_common", F.size(F.array_intersect("set_src", "set_dst")))
         .withColumn(
             "jaccard",
@@ -98,7 +149,6 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame,
         .withColumn("verified", F.col("jaccard") >= cfg.jaccard_threshold)
         .select("src", "dst", "hamming", "jaccard", "verified")
     )
-    return e
 
 
 def apply_lcs_gate(edges: DataFrame, corpus: DataFrame, cfg: DedupConfig,

@@ -115,6 +115,17 @@ class Checkpointer:
         }
         with open(os.path.join(self.workdir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(meta) + "\n")
+        # the cross-check the lineage exists for (ADVICE r3: it was only
+        # recorded, never compared): write-job row count vs committed
+        # footers — a mismatch means rows were lost or duplicated between
+        # the job and the commit, and resuming from such a checkpoint
+        # would silently propagate it.
+        if meta["rows"] != observed_rows:
+            raise RuntimeError(
+                f"checkpoint '{stage}': write job observed "
+                f"{observed_rows} rows but committed footers hold "
+                f"{meta['rows']} — corrupt checkpoint, not resuming from it"
+            )
         if self.fingerprint is not None:
             with open(os.path.join(path, "_fingerprint.json"), "w") as f:
                 f.write(self.fingerprint)

@@ -11,24 +11,38 @@ from pyspark.sql import SparkSession
 
 
 def package_zip() -> str:
-    """Build (once per process) a zip of the dedup_spark package — the
-    artifact a production job ships via ``spark-submit --py-files``
-    (north_rule). Returned path is stable within a run."""
+    """Build a zip of the dedup_spark package — the artifact a production
+    job ships via ``spark-submit --py-files`` (north_rule). The file name
+    carries a digest of the package SOURCES, so editing the package
+    invalidates the cache: a fixed name once shipped executors a stale
+    zip from a previous build (workers failed with missing attributes
+    whenever the driver ran outside the repo checkout)."""
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    out = os.path.join(tempfile.gettempdir(),
-                       f"dedup_spark_pkg_{os.getuid()}.zip")
+    sources = []
+    for root, _, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                sources.append(os.path.join(root, fn))
+    sources.sort()
+    h = hashlib.sha256()
+    for full in sources:
+        h.update(os.path.relpath(full, pkg_dir).encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"dedup_spark_pkg_{os.getuid()}_{h.hexdigest()[:12]}.zip",
+    )
     if not os.path.exists(out):
         tmp = out + f".{os.getpid()}"
         with zipfile.ZipFile(tmp, "w") as z:
-            for root, _, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        z.write(full, rel)
+            for full in sources:
+                z.write(full,
+                        os.path.relpath(full, os.path.dirname(pkg_dir)))
         os.replace(tmp, out)
     return out
 

@@ -242,10 +242,10 @@ def test_resume_rejects_stale_fingerprint(spark, corpus, tmp_path_factory):
 
 
 def test_cc_distributed_loop_matches_driver_path(spark, monkeypatch):
-    """Force DRIVER_FINALIZE_EDGES tiny so the distributed min-contraction
-    loop and the _finalize_on_driver handoff actually run (the suites
-    otherwise always take the small-graph fast path), and assert identical
-    clusters (VERDICT r2 #8)."""
+    """Force DRIVER_FINALIZE_EDGES tiny so the distributed alternating
+    large-star/small-star loop actually runs before the bounded toPandas
+    driver finalize (the suites otherwise always take the small-graph fast
+    path), and assert identical clusters (VERDICT r2 #8)."""
     from dedup_spark.operators import cluster as cl
 
     # a 60-vertex chain (worst case for contraction rounds), two cliques,
