@@ -122,6 +122,91 @@ def test_salted_pairs_recall_neutral(spark, corpus):
     sigs.unpersist()
 
 
+def test_salted_pairs_generic_keys(spark):
+    """salted_pairs is the ONE pair-gen ladder for every bucketed surface
+    (VERDICT r3 #4): with string bucket keys and a custom id column it
+    must enumerate exactly the brute-force pair set, salting included."""
+    from itertools import combinations
+
+    from dedup_spark.operators.lsh import salted_pairs
+
+    rows = [("b0", i) for i in range(7)] + \
+           [("b1", i) for i in range(5, 11)] + [("b2", 99)]
+    buckets = spark.createDataFrame(rows, "bkt string, doc_id long")
+    want = set()
+    for b in ("b0", "b1"):
+        ids = sorted(d for k, d in rows if k == b)
+        want |= {tuple(sorted(p)) for p in combinations(ids, 2)}
+    # max_b=2 forces the salted path on both buckets (sizes 7 and 6)
+    got = {(r["src"], r["dst"]) for r in salted_pairs(
+        buckets, 2, 1000, key_cols=("bkt",), id_col="doc_id"
+    ).collect()}
+    assert got == want
+    # drop ladder: salt_cap=6 kills the 7-member bucket, keeps the 6
+    pairs, dropped = salted_pairs(
+        buckets, 3, 2, key_cols=("bkt",), id_col="doc_id",
+        return_metrics=True,
+    )
+    ids1 = sorted(d for k, d in rows if k == "b1")
+    assert {(r["src"], r["dst"]) for r in pairs.collect()} == {
+        tuple(sorted(p)) for p in combinations(ids1, 2)
+    }
+    d = dropped.collect()[0]
+    assert d["dropped_buckets"] == 1 and d["dropped_rows"] == 7
+
+
+def test_verify_two_phase_equivalence(result):
+    """Size-tiered verify (VERDICT r3 #6): with the hamming gate active,
+    the two-phase plan (narrow simhash joins first, shingle sketches only
+    for survivors) must emit exactly the single-phase edge rows."""
+    from dedup_spark.operators.verify import verify_pairs
+
+    gated = DedupConfig(simhash_hamming_max=20)
+    sigs = result["signatures"]
+    pairs = result["candidates"]
+    sh = sigs.select("file_id", "shingles")
+
+    def rows(df):
+        return {
+            (r["src"], r["dst"], r["hamming"], round(r["jaccard"], 9),
+             r["verified"])
+            for r in df.collect()
+        }
+
+    two = rows(verify_pairs(pairs, sigs, sh, gated, two_phase=True))
+    one = rows(verify_pairs(pairs, sigs, sh, gated, two_phase=False))
+    assert two == one
+    assert len(two) > 20  # the gate leaves a real comparison surface
+    # and the gate actually gated something relative to hamming-off
+    allp = rows(verify_pairs(pairs, sigs, sh, CFG))
+    assert len(two) < len(allp)
+
+
+@pytest.mark.parametrize("mode", ["entropy", "fixed"])
+def test_pipeline_recall_all_chunk_modes(spark, mode):
+    """VERDICT r3 #7: the recall/cluster gates previously ran only the
+    default dynamic CDC; entropy and fixed modes go through the identical
+    full-pipeline gate against the reference-semantics oracle."""
+    cfg = DedupConfig(mode=mode)
+    corpus_m = corpus_df(spark, 200, seed=31).cache()
+    res = run_pipeline(corpus_m, cfg)
+    got = {
+        (r["src"], r["dst"])
+        for r in res["edges"].where("verified").select("src", "dst").collect()
+    }
+    rows = [(r["file_id"], r["content"]) for r in corpus_m.collect()]
+    oracle_pairs, oracle_clusters = run_oracle(rows, cfg)
+    assert len(oracle_pairs) > 30, f"mode={mode}: oracle surface too small"
+    missed = oracle_pairs - got
+    recall = 1 - len(missed) / len(oracle_pairs)
+    assert recall >= 0.99, f"mode={mode} recall {recall}"
+    cl = {
+        r["file_id"]: r["cluster_id"] for r in res["clusters"].collect()
+    }
+    assert set(cl) == set(oracle_clusters)
+    corpus_m.unpersist()
+
+
 def test_resume_skips_stages(spark, corpus, tmp_path_factory):
     workdir = str(tmp_path_factory.mktemp("ckpt"))
     r1 = run_pipeline(corpus.limit(60), CFG, workdir=workdir)

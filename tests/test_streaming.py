@@ -106,6 +106,66 @@ def test_replay_is_idempotent(spark, tmp_path_factory):
     assert _file_digests(os.path.join(state, "signatures")) == sig_before
 
 
+def test_incremental_cost_proportional_to_batch(spark, tmp_path_factory):
+    """VERDICT r3 #2: the per-batch fold must not re-shuffle the full
+    cumulative signature table. The fold's own lineage counters (written
+    per batch to metrics.jsonl) pin it: after a large bootstrap batch, a
+    small batch's group-delta/born/touched-bucket row counts scale with
+    the SMALL batch, not with the state."""
+    corpus = corpus_df(spark, 170, seed=23).cache()
+    state = str(tmp_path_factory.mktemp("state_prop"))
+    incremental_update(corpus.where("file_id < 150"), state, CFG)
+    incremental_update(corpus.where("file_id >= 150 AND file_id < 160"),
+                       state, CFG)
+    incremental_update(corpus.where("file_id >= 160"), state, CFG)
+
+    m = [json.loads(l) for l in open(os.path.join(state, "metrics.jsonl"))]
+    assert [x["batch_id"] for x in m] == [0, 1, 2]
+    # state written per batch ∝ batch
+    for x in m[1:]:
+        assert x["new_rows"] == 10
+        assert x["new_groups"] <= 10
+        assert x["born_groups"] <= 10
+    # bootstrap wrote the big batch's groups once
+    assert m[0]["new_groups"] > 100
+    # touched band state ∝ batch: each new rep touches ≤ bands buckets,
+    # and each touched bucket's OLD membership is what gets read — far
+    # below the full band index of the 150-file bootstrap state
+    total_band_state = m[0]["born_groups"] * CFG.bands
+    for x in m[1:]:
+        assert x["touched_old_band_rows"] <= 10 * CFG.bands * 4
+        assert x["touched_old_band_rows"] < total_band_state / 3
+    # and the result still equals the one-shot batch run
+    batch_edges = _pairs(run_pipeline(corpus, CFG)["edges"].where("verified"))
+    assert _pairs(expanded_edges(spark, state).where("verified")) == batch_edges
+
+
+def test_stranded_batch_recovery(spark, tmp_path_factory):
+    """ADVICE r3 (medium): in auto-id mode, a batch that committed its
+    signatures but crashed before its edges partition must be re-folded
+    before the next id is assigned — otherwise its rows silently age into
+    the 'old' window and their near-dup edges are lost forever."""
+    import shutil
+
+    corpus = corpus_df(spark, 120, seed=29).cache()
+    state = str(tmp_path_factory.mktemp("state_crash"))
+    incremental_update(corpus.where("file_id < 60"), state, CFG)
+    incremental_update(corpus.where("file_id >= 60 AND file_id < 90"),
+                       state, CFG)
+    # simulate the crash window: batch 1's signatures are committed but
+    # its edges (the commit marker) never landed
+    shutil.rmtree(os.path.join(state, "edges", "batch_id=1"))
+
+    incremental_update(corpus.where("file_id >= 90"), state, CFG)
+    # batch 1 was re-folded (edges partition restored), batch 2 appended
+    assert os.path.exists(
+        os.path.join(state, "edges", "batch_id=1", "_SUCCESS"))
+    assert os.path.exists(
+        os.path.join(state, "edges", "batch_id=2", "_SUCCESS"))
+    batch_edges = _pairs(run_pipeline(corpus, CFG)["edges"].where("verified"))
+    assert _pairs(expanded_edges(spark, state).where("verified")) == batch_edges
+
+
 def test_structured_streaming_wrapper(spark, tmp_path_factory):
     corpus = corpus_df(spark, 120, seed=13).cache()
     in_dir = str(tmp_path_factory.mktemp("stream_in"))
