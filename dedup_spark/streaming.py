@@ -126,6 +126,9 @@ def incremental_update(new_corpus: DataFrame, state_dir: str,
     sig_path = os.path.join(state_dir, "signatures")
     edge_path = os.path.join(state_dir, "edges")
 
+    if os.path.isdir(state_dir):
+        _recover_compaction(state_dir)  # finish any interrupted compaction
+    wmark = _watermark(state_dir)
     done = set(_batch_dirs(edge_path))
     if batch_id is None:
         existing = _batch_dirs(sig_path)
@@ -133,15 +136,17 @@ def incremental_update(new_corpus: DataFrame, state_dir: str,
         # signatures but crashed before its edges partition would
         # otherwise count as 'old' forever and its near-dup edges would
         # be silently missing. Re-fold from the stored signatures first.
+        # Ids at or below the compaction watermark are committed by
+        # definition (their edges live in the merged base partition).
         for b in existing:
-            if b not in done:
+            if b not in done and b > wmark:
                 _fold_batch(
                     spark, state_dir, cfg, b,
                     spark.read.parquet(
                         os.path.join(sig_path, f"batch_id={b}")),
                 )
         batch_id = (existing[-1] + 1) if existing else 0
-    elif batch_id in done:
+    elif batch_id in done or batch_id <= wmark:
         return _state_frames(spark, state_dir)  # replayed batch: no-op
 
     sig_part = os.path.join(sig_path, f"batch_id={batch_id}")
@@ -156,6 +161,12 @@ def incremental_update(new_corpus: DataFrame, state_dir: str,
     _fold_batch(spark, state_dir, cfg, batch_id,
                 spark.read.parquet(sig_part))
     return _state_frames(spark, state_dir)
+
+
+# broadcast the batch-derived key frames only while they are small; a
+# 10M-key broadcast would stress the driver for no benefit over a narrow
+# shuffled join
+_BROADCAST_KEY_ROWS = 2_000_000
 
 
 def _prior_parts(state_dir: str, table: str, batch_id: int) -> list[str]:
@@ -194,18 +205,23 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
 
     # 3. born-group detection against the PRIOR narrow deltas: scan old
     # keys once, broadcast the batch's keys both ways — no wide shuffle
-    # of state. (A giant bootstrap batch takes the no-prior branch, so
-    # the broadcast is only ever batch-sized.)
+    # of state. A giant bootstrap batch takes the no-prior branch; for a
+    # later batch too large to broadcast (the delta's committed footers
+    # give its exact row count driver-side, no extra job) the hint is
+    # dropped and Spark shuffles BOTH narrow key tables — still rows of
+    # 2-4 longs, never the wide signature state.
+    hint = (F.broadcast if _footer_rows(groups_part) <= _BROADCAST_KEY_ROWS
+            else (lambda df: df))
     prior_groups = _prior_parts(state_dir, "groups", batch_id)
     if prior_groups:
         old_touched = (
             spark.read.parquet(*prior_groups)
-            .join(F.broadcast(new_delta.select("g1", "g2")), ["g1", "g2"])
+            .join(hint(new_delta.select("g1", "g2")), ["g1", "g2"])
             .select("g1", "g2")
             .distinct()
         )
         born = new_delta.join(
-            F.broadcast(old_touched), ["g1", "g2"], "left_anti"
+            hint(old_touched), ["g1", "g2"], "left_anti"
         )
     else:
         born = new_delta
@@ -215,7 +231,7 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     # become state; the rep is pinned at birth (membership-based
     # expansion makes the endpoint choice irrelevant downstream).
     new_sigs.drop("batch_id").join(
-        F.broadcast(born_reps), "file_id"
+        hint(born_reps), "file_id"
     ).write.mode("overwrite").parquet(repsig_part)
     new_rep_sigs = spark.read.parquet(repsig_part)
     new_bands = band_buckets(new_rep_sigs, cfg)
@@ -232,7 +248,7 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     prior_bands = _prior_parts(state_dir, "bands", batch_id)
     if prior_bands:
         touched_old = spark.read.parquet(*prior_bands).join(
-            F.broadcast(new_bands.select("band_id", "band_hash").distinct()),
+            hint(new_bands.select("band_id", "band_hash").distinct()),
             ["band_id", "band_hash"],
         )
         universe = touched_old.unionByName(new_bands)
@@ -269,7 +285,7 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     all_repsigs = spark.read.parquet(
         *(_prior_parts(state_dir, "repsigs", batch_id) + [repsig_part])
     )
-    verify_side = all_repsigs.join(F.broadcast(endpoint_ids), "file_id")
+    verify_side = all_repsigs.join(hint(endpoint_ids), "file_id")
     rep_edges = verify_pairs(
         pairs, verify_side, verify_side.select("file_id", "shingles"), cfg
     ).where("verified")
@@ -300,6 +316,122 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     }
     with open(os.path.join(state_dir, "metrics.jsonl"), "a") as f:
         f.write(json.dumps(meta) + "\n")
+
+
+def _watermark(state_dir: str) -> int:
+    """Highest batch id folded INTO a compacted base (-1 if never
+    compacted). Replays at or below it are committed by definition."""
+    try:
+        with open(os.path.join(state_dir, "_compacted.json")) as f:
+            return int(json.load(f)["through"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+_COMPACT_TABLES = ("groups", "repsigs", "bands", "edges")
+
+
+def _recover_compaction(state_dir: str) -> None:
+    """Finish an interrupted ``compact_state`` (idempotent): install any
+    fully-written merged base whose target is missing, then re-apply the
+    journaled deletes. Called at every fold start."""
+    import shutil
+
+    jpath = os.path.join(state_dir, "_compact_journal.json")
+    if not os.path.exists(jpath):
+        return
+    with open(jpath) as f:
+        j = json.load(f)
+    w = j["through"]
+    for table in _COMPACT_TABLES:
+        tdir = os.path.join(state_dir, table)
+        tmp = os.path.join(tdir, ".compact_tmp")
+        base = os.path.join(tdir, f"batch_id={w}")
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            if os.path.exists(base):
+                shutil.rmtree(base)
+            os.replace(tmp, base)
+        for b in j["remove"]:
+            if b != w:
+                shutil.rmtree(
+                    os.path.join(tdir, f"batch_id={b}"), ignore_errors=True
+                )
+    os.remove(jpath)
+
+
+def compact_state(spark: SparkSession, state_dir: str) -> dict:
+    """Log-structured maintenance compaction (run out of band, like an
+    Iceberg rewrite): merge every committed batch's NARROW delta
+    partitions (groups / repsigs / bands / edges) into one base partition
+    at ``batch_id=<watermark>``, so state reads stop paying one directory
+    listing + footer per historical batch. ``signatures`` partitions are
+    NEVER compacted — they are the replay inputs and the wide audit
+    surface. Fold semantics are preserved exactly: born-group detection
+    needs key PRESENCE in any prior delta (the groups merge keeps one row
+    per key: min rep_delta, summed cnt_delta), and repsigs/bands/edges
+    rows are disjoint across batches so their merge is a plain union.
+
+    Crash safety: merged bases are written to a hidden tmp dir first, a
+    journal records the install + deletes, and every fold start finishes
+    an interrupted compaction idempotently before touching state. Refuses
+    to run while any batch is stranded (signatures without edges)."""
+    import shutil
+
+    _recover_compaction(state_dir)
+    sig_ids = _batch_dirs(os.path.join(state_dir, "signatures"))
+    done = set(_batch_dirs(os.path.join(state_dir, "edges")))
+    w0 = _watermark(state_dir)
+    pending = [b for b in sig_ids if b not in done and b > w0]
+    if pending:
+        raise RuntimeError(
+            f"cannot compact: stranded uncommitted batches {pending} — "
+            "fold them first (incremental_update in auto-id mode recovers "
+            "them)"
+        )
+    if not sig_ids:
+        return {"through": w0, "merged_batches": 0}
+    w = max(sig_ids)
+    merged_ids: list[int] = []
+    for table in _COMPACT_TABLES:
+        tdir = os.path.join(state_dir, table)
+        ids = _batch_dirs(tdir)
+        if len(ids) <= 1:
+            continue
+        merged_ids = sorted(set(merged_ids) | set(ids))
+        df = spark.read.parquet(
+            *(os.path.join(tdir, f"batch_id={b}") for b in ids)
+        )
+        if table == "groups":
+            df = df.groupBy("g1", "g2").agg(
+                F.min("rep_delta").alias("rep_delta"),
+                F.sum("cnt_delta").alias("cnt_delta"),
+            )
+        df.write.mode("overwrite").parquet(os.path.join(tdir, ".compact_tmp"))
+    if not merged_ids:
+        return {"through": w0, "merged_batches": 0}
+    # watermark FIRST (replay no-op guard must cover the ids whose edges
+    # dirs are about to disappear), then the journal, then install+delete
+    with open(os.path.join(state_dir, "_compacted.json"), "w") as f:
+        json.dump({"through": w}, f)
+    jpath = os.path.join(state_dir, "_compact_journal.json")
+    with open(jpath, "w") as f:
+        json.dump({"through": w, "remove": merged_ids}, f)
+    for table in _COMPACT_TABLES:
+        tdir = os.path.join(state_dir, table)
+        tmp = os.path.join(tdir, ".compact_tmp")
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            continue
+        base = os.path.join(tdir, f"batch_id={w}")
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.replace(tmp, base)
+        for b in merged_ids:
+            if b != w:
+                shutil.rmtree(
+                    os.path.join(tdir, f"batch_id={b}"), ignore_errors=True
+                )
+    os.remove(jpath)
+    return {"through": w, "merged_batches": len(merged_ids)}
 
 
 def _state_frames(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:

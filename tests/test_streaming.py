@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 from dedup_spark.config import DedupConfig
 from dedup_spark.pipeline import run_pipeline
 from dedup_spark.streaming import (
-    current_clusters, expanded_edges, incremental_update, stream_corpus,
+    compact_state, current_clusters, expanded_edges, incremental_update,
+    stream_corpus,
 )
 from dedup_spark.synth import corpus_df
 
@@ -164,6 +165,49 @@ def test_stranded_batch_recovery(spark, tmp_path_factory):
         os.path.join(state, "edges", "batch_id=2", "_SUCCESS"))
     batch_edges = _pairs(run_pipeline(corpus, CFG)["edges"].where("verified"))
     assert _pairs(expanded_edges(spark, state).where("verified")) == batch_edges
+
+
+def test_state_compaction(spark, tmp_path_factory):
+    """Maintenance compaction merges the per-batch narrow delta dirs into
+    one base partition without changing any derived result, later batches
+    fold against the base, and pre-watermark replays stay no-ops."""
+    corpus = corpus_df(spark, 160, seed=43).cache()
+    state = str(tmp_path_factory.mktemp("state_compact"))
+    for lo, hi in ((0, 60), (60, 100), (100, 130)):
+        incremental_update(
+            corpus.where(f"file_id >= {lo} AND file_id < {hi}"), state, CFG)
+    edges_before = _pairs(expanded_edges(spark, state).where("verified"))
+
+    out = compact_state(spark, state)
+    assert out["through"] == 2 and out["merged_batches"] == 3
+    for table in ("groups", "repsigs", "bands", "edges"):
+        dirs = os.listdir(os.path.join(state, table))
+        assert dirs == ["batch_id=2"], (table, dirs)
+    # signatures are replay inputs — never compacted
+    assert sorted(os.listdir(os.path.join(state, "signatures"))) == [
+        "batch_id=0", "batch_id=1", "batch_id=2",
+    ]
+    assert _pairs(expanded_edges(spark, state).where("verified")) == edges_before
+
+    # a replay of a pre-watermark batch id is a committed no-op
+    sig_digests = _file_digests(state)
+    incremental_update(corpus.where("file_id < 60"), state, CFG, batch_id=1)
+    assert _file_digests(state) == sig_digests
+
+    # the next batch folds against the compacted base and the cumulative
+    # result still equals the one-shot batch run
+    incremental_update(corpus.where("file_id >= 130"), state, CFG)
+    batch_edges = _pairs(run_pipeline(corpus, CFG)["edges"].where("verified"))
+    assert _pairs(expanded_edges(spark, state).where("verified")) == batch_edges
+    batch_cl = {
+        r["file_id"]: r["cluster_id"]
+        for r in run_pipeline(corpus, CFG)["clusters"].collect()
+    }
+    inc_cl = {
+        r["file_id"]: r["cluster_id"]
+        for r in current_clusters(spark, state).collect()
+    }
+    assert inc_cl == batch_cl
 
 
 def test_structured_streaming_wrapper(spark, tmp_path_factory):
