@@ -16,13 +16,18 @@ corpus, so committed batch partitions are immutable):
   groups/batch_id=K/       this batch's GROUP-KEY DELTA: one narrow row
                            (g1, g2, rep_delta, cnt_delta) per distinct
                            signature group observed in the batch
+  members/batch_id=K/      (file_id, g1, g2) for every matchable row of
+                           the batch — the narrow membership map that
+                           lets the serving queries (current_clusters /
+                           expanded_edges) avoid re-hashing the wide
+                           signature rows
   repsigs/batch_id=K/      signature rows of the group representatives
                            BORN in this batch (one per new group)
   bands/batch_id=K/        (band_id, band_hash, file_id) of the born
                            representatives — the narrow LSH index state
   edges/batch_id=K/        verified representative-level edges discovered
                            by this batch (compact — the within-group
-                           connectivity is derivable from signatures and
+                           connectivity is derivable from membership and
                            is never materialized as state)
   metrics.jsonl            per-batch lineage: rows, pairs, dropped
                            buckets, state-proportionality counters
@@ -192,10 +197,18 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     bands_part = os.path.join(state_dir, "bands", f"batch_id={batch_id}")
     edge_part = os.path.join(state_dir, "edges", f"batch_id={batch_id}")
 
-    # 2. narrow group-key delta for THIS batch only: one row per distinct
-    # signature group in the batch (shuffle ∝ batch rows).
+    # 2. narrow membership map + group-key delta for THIS batch only:
+    # one member row per matchable file, one delta row per distinct
+    # signature group in the batch (shuffle ∝ batch rows). The expensive
+    # part — xxhash64 over the wide shingle/minhash arrays — runs ONCE
+    # here; every later consumer reads 3-long rows.
+    members_part = os.path.join(state_dir, "members", f"batch_id={batch_id}")
+    group_keys(new_sigs.drop("batch_id")).write.mode("overwrite").parquet(
+        members_part
+    )
+    new_members = spark.read.parquet(members_part)
     new_delta = (
-        group_keys(new_sigs.drop("batch_id"))
+        new_members
         .groupBy("g1", "g2")
         .agg(F.min("file_id").alias("rep_delta"),
              F.count("*").alias("cnt_delta"))
@@ -328,7 +341,7 @@ def _watermark(state_dir: str) -> int:
         return -1
 
 
-_COMPACT_TABLES = ("groups", "repsigs", "bands", "edges")
+_COMPACT_TABLES = ("groups", "members", "repsigs", "bands", "edges")
 
 
 def _recover_compaction(state_dir: str) -> None:
@@ -446,6 +459,27 @@ def _state_frames(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:
     }
 
 
+def _groups_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(file_id, g1, g2, rep, group_size) rebuilt from the NARROW members
+    state (3 longs/row) — same output as ``sketch_groups`` over the wide
+    cumulative signature table, without re-reading or re-hashing the
+    ~10 KB signature rows. Falls back to the wide path for states written
+    before the members table existed."""
+    mem_dir = os.path.join(state_dir, "members")
+    if not os.path.isdir(mem_dir):
+        sigs = spark.read.parquet(os.path.join(state_dir, "signatures"))
+        return sketch_groups(sigs.drop("batch_id"))
+    from pyspark.sql import Window
+
+    mem = spark.read.parquet(mem_dir).drop("batch_id")
+    w = Window.partitionBy("g1", "g2")
+    return mem.select(
+        "file_id", "g1", "g2",
+        F.min("file_id").over(w).alias("rep"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
 def expanded_edges(spark: SparkSession, state_dir: str) -> DataFrame:
     """Member-level verified pair surface from compact state: stored rep
     edges fan out through signature-group membership, plus all
@@ -454,9 +488,8 @@ def expanded_edges(spark: SparkSession, state_dir: str) -> DataFrame:
     Expansion joins endpoints by group MEMBERSHIP, not rep-ness: a stored
     endpoint is always some member of its group, but need not remain the
     group minimum once later batches add smaller file_ids."""
-    sigs = spark.read.parquet(os.path.join(state_dir, "signatures"))
     rep_edges = spark.read.parquet(os.path.join(state_dir, "edges"))
-    groups = sketch_groups(sigs.drop("batch_id"))
+    groups = _groups_from_state(spark, state_dir)
     key = groups.select("file_id", "g1", "g2")
     mem = groups.select("g1", "g2", F.col("file_id").alias("member"))
     cross = (
@@ -482,12 +515,15 @@ def expanded_edges(spark: SparkSession, state_dir: str) -> DataFrame:
 
 def current_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
     """Connected components over the compact state: group star edges
-    (derived from signatures — never stored) + verified rep edges."""
+    (derived from the narrow membership state — never stored) + verified
+    rep edges. The wide signature table is touched only for the id
+    universe, a single-column parquet read (zero-shingle files have no
+    members row but still get a singleton cluster)."""
     from .operators.cluster import cluster_assignments
 
     sigs = spark.read.parquet(os.path.join(state_dir, "signatures"))
     rep_edges = spark.read.parquet(os.path.join(state_dir, "edges"))
-    groups = sketch_groups(sigs.drop("batch_id"))
+    groups = _groups_from_state(spark, state_dir)
     cluster_input = group_star_pairs(groups).unionByName(
         rep_edges.select("src", "dst")
     )

@@ -180,7 +180,7 @@ def test_state_compaction(spark, tmp_path_factory):
 
     out = compact_state(spark, state)
     assert out["through"] == 2 and out["merged_batches"] == 3
-    for table in ("groups", "repsigs", "bands", "edges"):
+    for table in ("groups", "members", "repsigs", "bands", "edges"):
         dirs = os.listdir(os.path.join(state, table))
         assert dirs == ["batch_id=2"], (table, dirs)
     # signatures are replay inputs — never compacted
