@@ -51,6 +51,31 @@ def main():
     e2e = time.time() - t0
     timings["neardup_pipeline"] = round(e2e, 3)
 
+    # --- incremental fold (streaming path): two batches into fresh state
+    import shutil
+    import tempfile
+
+    from dedup_spark.streaming import current_clusters, incremental_update
+
+    state = tempfile.mkdtemp(prefix="bench_state_")
+    try:
+        t0 = time.time()
+        incremental_update(
+            corpus.where(f"file_id < {int(n_corpus * 0.6)}"), state,
+            DedupConfig(),
+        )
+        incremental_update(
+            corpus.where(f"file_id >= {int(n_corpus * 0.6)}"), state,
+            DedupConfig(),
+        )
+        inc_clusters = current_clusters(spark, state).select(
+            "cluster_id"
+        ).distinct().count()
+        timings["incremental_fold"] = round(time.time() - t0, 3)
+        assert inc_clusters == n_clusters, (inc_clusters, n_clusters)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
     # --- SQL-surface queries over the driver tables ---
     qs = entry_mod.queries()
     for name, fn in qs.items():
