@@ -44,9 +44,18 @@ _DUP_OFFSET = 100000
 def _docs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source",
                                     "n_chars")
-    inj = d.where(F.col("doc_id") % _DUP_MOD == 0).select(
-        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
-        "text", "lang", "source", "n_chars",
+    # collision-proof injected ids at ANY scale factor: offset = the
+    # larger of the fixed offset and max(doc_id)+1, computed identically
+    # by the DuckDB twin (a fixed literal alone would collide with real
+    # ids once the table holds >= _DUP_OFFSET docs)
+    off = F.greatest(F.lit(_DUP_OFFSET), F.max("doc_id") + 1).alias("_off")
+    inj = (
+        d.crossJoin(F.broadcast(d.agg(off)))
+        .where(F.col("doc_id") % _DUP_MOD == 0)
+        .select(
+            (F.col("doc_id") + F.col("_off")).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
     )
     return d.unionByName(inj)
 
@@ -54,7 +63,9 @@ def _docs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOCS2_SQL = f"""docs2 AS (
     SELECT doc_id, text, lang, source, n_chars FROM documents
     UNION ALL
-    SELECT doc_id + {_DUP_OFFSET} AS doc_id, text, lang, source, n_chars
+    SELECT doc_id + (SELECT greatest({_DUP_OFFSET}, max(doc_id) + 1)
+                     FROM documents) AS doc_id,
+           text, lang, source, n_chars
     FROM documents WHERE doc_id % {_DUP_MOD} = 0
 )"""
 
@@ -316,7 +327,10 @@ def _tokh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash expression in the 16 MinHash / 32 SimHash aggregates re-computes
     md5 per aggregate (no CSE across aggregate expressions — same Catalyst
     behavior as the ngram split fix; measured ~40% off the query)."""
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): a stopped session's id() can
+    # be recycled by a later allocation, which would hand back a frame
+    # bound to a dead SparkContext
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _TOKH_CACHE.get(key)
     if df is not None:
         return df

@@ -116,15 +116,28 @@ class Checkpointer:
         with open(os.path.join(self.workdir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(meta) + "\n")
         # the cross-check the lineage exists for (ADVICE r3: it was only
-        # recorded, never compared): write-job row count vs committed
-        # footers — a mismatch means rows were lost or duplicated between
-        # the job and the commit, and resuming from such a checkpoint
-        # would silently propagate it.
-        if meta["rows"] != observed_rows:
+        # recorded, never compared). Footers holding MORE rows than the
+        # write job observed means rows appeared that no task counted —
+        # genuine corruption, refuse the checkpoint (raised before the
+        # fingerprint lands, so resume will recompute). Observed > footers
+        # is only a warning: task retries / speculative attempts can
+        # double-count the observe() accumulator while the committed
+        # output stays correct (exactly-once is per committed file, not
+        # per attempt).
+        if meta["rows"] > observed_rows:
             raise RuntimeError(
-                f"checkpoint '{stage}': write job observed "
-                f"{observed_rows} rows but committed footers hold "
-                f"{meta['rows']} — corrupt checkpoint, not resuming from it"
+                f"checkpoint '{stage}': committed footers hold "
+                f"{meta['rows']} rows but the write job observed only "
+                f"{observed_rows} — corrupt checkpoint, not resuming from it"
+            )
+        if meta["rows"] != observed_rows:
+            import warnings
+
+            warnings.warn(
+                f"checkpoint '{stage}': observed {observed_rows} rows vs "
+                f"{meta['rows']} committed (task retries can inflate the "
+                "observation; recorded in metrics.jsonl)",
+                stacklevel=2,
             )
         if self.fingerprint is not None:
             with open(os.path.join(path, "_fingerprint.json"), "w") as f:

@@ -69,7 +69,13 @@ are pinned at BIRTH (the band/edge endpoint is whichever member first
 represented the group); later members — even ones with smaller ids —
 change nothing in the index, and the member-level expansion joins
 endpoints by group membership, so cluster output is identical to the
-batch path's.
+batch path's **while no bucket crosses the drop cap**. In the capped
+regime the two paths intentionally differ: a bucket that grows past
+``max_bucket * salt`` across batches keeps the edges it earned while it
+was small (the incremental fold only stops generating NEW pairs for it),
+whereas a one-shot batch run drops the whole bucket — the incremental
+path is strictly more complete there, and each batch's drop counters in
+``metrics.jsonl`` record when that regime was entered.
 """
 
 from __future__ import annotations
@@ -133,6 +139,7 @@ def incremental_update(new_corpus: DataFrame, state_dir: str,
 
     if os.path.isdir(state_dir):
         _recover_compaction(state_dir)  # finish any interrupted compaction
+        _migrate_state(spark, state_dir, cfg)  # backfill narrow indexes
     wmark = _watermark(state_dir)
     done = set(_batch_dirs(edge_path))
     if batch_id is None:
@@ -182,20 +189,17 @@ def _prior_parts(state_dir: str, table: str, batch_id: int) -> list[str]:
     ]
 
 
-def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
-                batch_id: int, new_sigs: DataFrame) -> None:
-    """Fold one batch's committed signature rows into the group/band/edge
-    state. Deterministic in (prior state, batch rows), so replaying a
-    half-written batch overwrites its own partitions with identical
-    content. Every wide shuffle here is proportional to the batch (plus
-    touched band buckets), never to the cumulative state — see the module
-    docstring's cost model."""
+def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
+                 batch_id: int, new_sigs: DataFrame):
+    """Build/rebuild one batch's NARROW index partitions (members, group
+    delta, born-rep sketches, born-rep bands) from its signature rows.
+    Deterministic in (prior narrow state, batch rows). Returns
+    ``(hint, new_bands, groups_part, repsig_part, bands_part)``."""
     from .operators.groups import group_keys
 
     groups_part = os.path.join(state_dir, "groups", f"batch_id={batch_id}")
     repsig_part = os.path.join(state_dir, "repsigs", f"batch_id={batch_id}")
     bands_part = os.path.join(state_dir, "bands", f"batch_id={batch_id}")
-    edge_part = os.path.join(state_dir, "edges", f"batch_id={batch_id}")
 
     # 2. narrow membership map + group-key delta for THIS batch only:
     # one member row per matchable file, one delta row per distinct
@@ -247,9 +251,60 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
         hint(born_reps), "file_id"
     ).write.mode("overwrite").parquet(repsig_part)
     new_rep_sigs = spark.read.parquet(repsig_part)
-    new_bands = band_buckets(new_rep_sigs, cfg)
-    new_bands.write.mode("overwrite").parquet(bands_part)
+    band_buckets(new_rep_sigs, cfg).write.mode("overwrite").parquet(
+        bands_part
+    )
     new_bands = spark.read.parquet(bands_part)
+    return hint, new_bands, groups_part, repsig_part, bands_part
+
+
+def _migrate_state(spark: SparkSession, state_dir: str,
+                   cfg: DedupConfig) -> None:
+    """Rebuild missing narrow index partitions for committed batches —
+    states written by earlier releases held only signatures + edges, and
+    folding a new batch against them without the narrow tables would
+    silently pair against nothing. Idempotent and deterministic: each
+    batch's index is a pure function of (prior narrow state, its stored
+    signature rows), rebuilt strictly in batch order. Edges are never
+    recomputed (they are committed results). Batches at or below the
+    compaction watermark are skipped — their index rows live in the
+    merged base partition, not in per-batch dirs."""
+    wmark = _watermark(state_dir)
+    for b in _batch_dirs(os.path.join(state_dir, "signatures")):
+        if b <= wmark:
+            continue
+        sig_part = os.path.join(state_dir, "signatures", f"batch_id={b}")
+        if not os.path.exists(
+                os.path.join(state_dir, "groups", f"batch_id={b}",
+                             "_SUCCESS")):
+            _index_batch(spark, state_dir, cfg, b,
+                         spark.read.parquet(sig_part))
+        elif not os.path.exists(
+                os.path.join(state_dir, "members", f"batch_id={b}",
+                             "_SUCCESS")):
+            # mid-format state: group/band index exists, membership
+            # map does not — rebuild just the members partition
+            from .operators.groups import group_keys
+
+            group_keys(
+                spark.read.parquet(sig_part).drop("batch_id")
+            ).write.mode("overwrite").parquet(
+                os.path.join(state_dir, "members", f"batch_id={b}")
+            )
+
+
+def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
+                batch_id: int, new_sigs: DataFrame) -> None:
+    """Fold one batch's committed signature rows into the group/band/edge
+    state. Deterministic in (prior state, batch rows), so replaying a
+    half-written batch overwrites its own partitions with identical
+    content. Every wide shuffle here is proportional to the batch (plus
+    touched band buckets), never to the cumulative state — see the module
+    docstring's cost model."""
+    edge_part = os.path.join(state_dir, "edges", f"batch_id={batch_id}")
+    hint, new_bands, groups_part, repsig_part, bands_part = _index_batch(
+        spark, state_dir, cfg, batch_id, new_sigs
+    )
 
     # 5. candidate pairs: newborn reps vs members of the band buckets
     # they TOUCH. Prior bands are scanned (3 longs/row) and reduced by a
@@ -266,8 +321,17 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
         )
         universe = touched_old.unionByName(new_bands)
     else:
-        touched_old = None
         universe = new_bands
+    from pyspark import StorageLevel
+
+    # persist + eager count: three consumers (pair-gen, the drop metrics,
+    # the edges write) would otherwise each re-scan every prior bands
+    # partition and re-run the semi-join — the same multi-replan pattern
+    # the batch path closes with its materialization barriers. The count
+    # also yields the touched-rows lineage counter for free.
+    universe = universe.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    universe_rows = universe.count()
+    new_band_rows = _footer_rows(bands_part)
     sizes = universe.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_size")
     )
@@ -286,10 +350,17 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
             F.greatest("file_id", "new_id").alias("dst"),
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    n_pairs = pairs.count()
 
     # 6. verify: fetch endpoint sketches from the rep-signature state via
-    # a broadcast semi-join (scan-only; no shuffle of the wide state).
+    # a semi-join (scan-only; no shuffle of the wide state). The
+    # broadcast hint for the endpoint set is gated on the MEASURED pair
+    # count (the delta-size gate above measures the wrong frame here —
+    # pair volume can dwarf the group delta).
+    ep_hint = (F.broadcast if 2 * n_pairs <= _BROADCAST_KEY_ROWS
+               else (lambda df: df))
     endpoint_ids = (
         pairs.select(F.col("src").alias("file_id"))
         .unionAll(pairs.select(F.col("dst").alias("file_id")))
@@ -298,7 +369,7 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     all_repsigs = spark.read.parquet(
         *(_prior_parts(state_dir, "repsigs", batch_id) + [repsig_part])
     )
-    verify_side = all_repsigs.join(hint(endpoint_ids), "file_id")
+    verify_side = all_repsigs.join(ep_hint(endpoint_ids), "file_id")
     rep_edges = verify_pairs(
         pairs, verify_side, verify_side.select("file_id", "shingles"), cfg
     ).where("verified")
@@ -320,15 +391,16 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
         "new_edges": _footer_rows(edge_part),
         "new_groups": _footer_rows(groups_part),
         "born_groups": _footer_rows(repsig_part),
-        "touched_old_band_rows": (
-            int(touched_old.count()) if touched_old is not None else 0
-        ),
+        "candidate_pairs": n_pairs,
+        "touched_old_band_rows": universe_rows - new_band_rows,
         "dropped_buckets": int(dropped["dropped_buckets"]),
         "dropped_rows": int(dropped["dropped_rows"]),
         "max_bucket_size": int(dropped["max_bucket_size"]),
     }
     with open(os.path.join(state_dir, "metrics.jsonl"), "a") as f:
         f.write(json.dumps(meta) + "\n")
+    universe.unpersist()
+    pairs.unpersist()
 
 
 def _watermark(state_dir: str) -> int:
@@ -364,6 +436,11 @@ def _recover_compaction(state_dir: str) -> None:
             if os.path.exists(base):
                 shutil.rmtree(base)
             os.replace(tmp, base)
+        # delete source partitions ONLY behind an installed merged base —
+        # a table the compaction skipped (single partition, no tmp) must
+        # keep its dir even if its id appears in the journal's remove set
+        if not os.path.exists(os.path.join(base, "_SUCCESS")):
+            continue
         for b in j["remove"]:
             if b != w:
                 shutil.rmtree(
@@ -448,6 +525,7 @@ def compact_state(spark: SparkSession, state_dir: str) -> dict:
 
 
 def _state_frames(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:
+    _recover_compaction(state_dir)
     sigs = spark.read.parquet(os.path.join(state_dir, "signatures"))
     compact = spark.read.parquet(os.path.join(state_dir, "edges"))
     return {
@@ -488,6 +566,7 @@ def expanded_edges(spark: SparkSession, state_dir: str) -> DataFrame:
     Expansion joins endpoints by group MEMBERSHIP, not rep-ness: a stored
     endpoint is always some member of its group, but need not remain the
     group minimum once later batches add smaller file_ids."""
+    _recover_compaction(state_dir)  # never read a half-compacted layout
     rep_edges = spark.read.parquet(os.path.join(state_dir, "edges"))
     groups = _groups_from_state(spark, state_dir)
     key = groups.select("file_id", "g1", "g2")
@@ -521,6 +600,7 @@ def current_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
     members row but still get a singleton cluster)."""
     from .operators.cluster import cluster_assignments
 
+    _recover_compaction(state_dir)  # never read a half-compacted layout
     sigs = spark.read.parquet(os.path.join(state_dir, "signatures"))
     rep_edges = spark.read.parquet(os.path.join(state_dir, "edges"))
     groups = _groups_from_state(spark, state_dir)

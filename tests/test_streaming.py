@@ -210,6 +210,31 @@ def test_state_compaction(spark, tmp_path_factory):
     assert inc_cl == batch_cl
 
 
+def test_old_format_state_migration(spark, tmp_path_factory):
+    """A state holding only signatures+edges (the pre-narrow-index layout)
+    must be transparently migrated at the next fold: the narrow index
+    partitions are rebuilt in batch order from the stored signatures, and
+    the subsequent batch pairs against ALL prior state, not just itself."""
+    import shutil
+
+    corpus = corpus_df(spark, 120, seed=47).cache()
+    state = str(tmp_path_factory.mktemp("state_mig"))
+    incremental_update(corpus.where("file_id < 50"), state, CFG)
+    incremental_update(corpus.where("file_id >= 50 AND file_id < 90"),
+                       state, CFG)
+    # strip the narrow index tables — what an old-release state dir holds
+    for table in ("groups", "members", "repsigs", "bands"):
+        shutil.rmtree(os.path.join(state, table))
+
+    incremental_update(corpus.where("file_id >= 90"), state, CFG)
+    for table in ("groups", "members", "repsigs", "bands"):
+        assert sorted(os.listdir(os.path.join(state, table))) == [
+            "batch_id=0", "batch_id=1", "batch_id=2",
+        ], table
+    batch_edges = _pairs(run_pipeline(corpus, CFG)["edges"].where("verified"))
+    assert _pairs(expanded_edges(spark, state).where("verified")) == batch_edges
+
+
 def test_structured_streaming_wrapper(spark, tmp_path_factory):
     corpus = corpus_df(spark, 120, seed=13).cache()
     in_dir = str(tmp_path_factory.mktemp("stream_in"))

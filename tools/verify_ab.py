@@ -116,11 +116,23 @@ def main():
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     hamming = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     file_chars = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    # cache key includes the dataset parameters — a bare _SUCCESS probe
+    # silently reused a differently-shaped dataset under new labels
     os.makedirs("/tmp/verify_ab", exist_ok=True)
-    if not os.path.exists("/tmp/verify_ab/pairs/_SUCCESS"):
+    shape = os.path.join("/tmp/verify_ab", "shape.json")
+    want = {"n_files": n_files, "file_chars": file_chars}
+    have = None
+    try:
+        with open(shape) as f:
+            have = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if have != want or not os.path.exists("/tmp/verify_ab/pairs/_SUCCESS"):
         subprocess.run(
             [sys.executable, "-c", PREP.replace("__REPO__", REPO),
              str(n_files), str(file_chars)], check=True, timeout=900)
+        with open(shape, "w") as f:
+            json.dump(want, f)
 
     out = {"n_files": n_files, "hamming_max": hamming,
            "file_chars": file_chars}
