@@ -9,7 +9,6 @@ Writes nothing outside /tmp; prints one JSON line.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import subprocess
