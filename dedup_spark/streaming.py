@@ -419,7 +419,8 @@ _COMPACT_TABLES = ("groups", "members", "repsigs", "bands", "edges")
 def _recover_compaction(state_dir: str) -> None:
     """Finish an interrupted ``compact_state`` (idempotent): install any
     fully-written merged base whose target is missing, then re-apply the
-    journaled deletes. Called at every fold start."""
+    journaled deletes. Called at every fold start AND by every state
+    reader, so a half-compacted layout is never served."""
     import shutil
 
     jpath = os.path.join(state_dir, "_compact_journal.json")
@@ -452,7 +453,7 @@ def _recover_compaction(state_dir: str) -> None:
 def compact_state(spark: SparkSession, state_dir: str) -> dict:
     """Log-structured maintenance compaction (run out of band, like an
     Iceberg rewrite): merge every committed batch's NARROW delta
-    partitions (groups / repsigs / bands / edges) into one base partition
+    partitions (groups / members / repsigs / bands / edges) into one base partition
     at ``batch_id=<watermark>``, so state reads stop paying one directory
     listing + footer per historical batch. ``signatures`` partitions are
     NEVER compacted — they are the replay inputs and the wide audit
