@@ -294,30 +294,44 @@ def _tok_hash_spark(c):
 # The (doc_id, token-hash) frame is the common input of minhash_signatures,
 # simhash_docs, and the band query: built once per (session, sf_dir) and
 # persisted, it saves two full scan+split+md5 passes when the queries run
-# in one session (driver gate, bench). Every persist taken by this module
-# is registered here so callers can release executor memory between/after
-# query batches (ADVICE r3: persisted intermediates were never unpersisted).
-_PERSISTED: list = []
-_TOKH_CACHE: dict = {}
+# in one session (driver gate, bench). EVERY persist this module takes is
+# keyed here (ADVICE r4: the members/postings persists used to stack a new
+# cached frame per query invocation until release_caches was called; now a
+# repeat invocation reuses the cache, and entries of stopped applications
+# are evicted as soon as a new application id is seen).
+_FRAME_CACHE: dict = {}  # (applicationId, sf_dir, name) -> persisted frame
 
 
-def _register_persist(df: DataFrame) -> DataFrame:
+def _cached_frame(spark: SparkSession, sf_dir: str, name: str,
+                  build) -> DataFrame:
+    """Session-keyed persisted frame with an eager materialization barrier
+    (consumers must never race an unpopulated cache — non-AQE broadcast
+    futures would double-compute it; event-log measured, see pipeline.py).
+    Keyed by applicationId, not id(spark): a stopped session's id() can be
+    recycled by a later allocation, which would hand back a frame bound to
+    a dead SparkContext."""
     from pyspark import StorageLevel
 
-    df = df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    _PERSISTED.append(df)
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _FRAME_CACHE if k[0] != app]:
+        del _FRAME_CACHE[k]  # dead application: its persists died with it
+    key = (app, sf_dir, name)
+    df = _FRAME_CACHE.get(key)
+    if df is None:
+        df = build().persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        df.count()
+        _FRAME_CACHE[key] = df
     return df
 
 
 def release_caches() -> None:
     """Unpersist every cached frame this module holds (bench/driver hook)."""
-    for df in _PERSISTED:
+    for df in _FRAME_CACHE.values():
         try:
             df.unpersist()
         except Exception:
             pass
-    _PERSISTED.clear()
-    _TOKH_CACHE.clear()
+    _FRAME_CACHE.clear()
 
 
 def _tokh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,28 +341,21 @@ def _tokh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash expression in the 16 MinHash / 32 SimHash aggregates re-computes
     md5 per aggregate (no CSE across aggregate expressions — same Catalyst
     behavior as the ngram split fix; measured ~40% off the query)."""
-    # keyed by applicationId, not id(spark): a stopped session's id() can
-    # be recycled by a later allocation, which would hand back a frame
-    # bound to a dead SparkContext
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _TOKH_CACHE.get(key)
-    if df is not None:
-        return df
-    d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
-    # array_distinct already dedupes within each doc; no row-level
-    # .distinct() — MIN/vote aggregates over a multiset equal those over
-    # the set, so the full dedup shuffle the DuckDB twin's DISTINCT
-    # implies is unnecessary here.
-    toks = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok"),
-    )
-    df = _register_persist(
-        toks.select("doc_id", _tok_hash_spark(F.col("tok")).alias("h"))
-    )
-    df.count()  # eager barrier: consumers must never race an empty cache
-    _TOKH_CACHE[key] = df
-    return df
+    def build():
+        d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+        # array_distinct already dedupes within each doc; no row-level
+        # .distinct() — MIN/vote aggregates over a multiset equal those
+        # over the set, so the full dedup shuffle the DuckDB twin's
+        # DISTINCT implies is unnecessary here.
+        toks = d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim("text"), r"\s+"))
+            ).alias("tok"),
+        )
+        return toks.select("doc_id", _tok_hash_spark(F.col("tok")).alias("h"))
+
+    return _cached_frame(spark, sf_dir, "tokh", build)
 
 
 _TOKENS_CTE = """
@@ -412,23 +419,28 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set is a wasted exchange at scale."""
     from dedup_spark.operators.lsh import salted_pairs
 
-    sig = q_minhash_signatures(spark, sf_dir)
-    gid = F.md5(
-        F.concat_ws("-", *[F.col(f"mh{i}").cast("string") for i in range(_K16)])
-    )
-    keyed = sig.select("doc_id", gid.alias("gid"), *[f"mh{i}" for i in range(_K16)])
-    w = Window.partitionBy("gid")
-    members = keyed.select(
-        "doc_id", "gid", F.min("doc_id").over(w).alias("rep"),
-        *[f"mh{i}" for i in range(_K16)],
-    )
     # four consumers (reps→bands, mem twice, within) would each replan the
-    # whole signature scan+window; persist materializes it ONCE, and the
-    # eager count() barrier keeps concurrent consumer jobs (non-AQE
-    # broadcast futures) from racing the unpopulated cache into double
-    # compute (same event-log-measured pattern as dedup_spark/pipeline.py).
-    members = _register_persist(members)
-    members.count()
+    # whole signature scan+window; the keyed persist materializes it ONCE
+    # per session+sf_dir (with the eager barrier that keeps concurrent
+    # consumer jobs — non-AQE broadcast futures — from racing the
+    # unpopulated cache into double compute).
+    def build_members():
+        sig = q_minhash_signatures(spark, sf_dir)
+        gid = F.md5(
+            F.concat_ws(
+                "-", *[F.col(f"mh{i}").cast("string") for i in range(_K16)]
+            )
+        )
+        keyed = sig.select(
+            "doc_id", gid.alias("gid"), *[f"mh{i}" for i in range(_K16)]
+        )
+        w = Window.partitionBy("gid")
+        return keyed.select(
+            "doc_id", "gid", F.min("doc_id").over(w).alias("rep"),
+            *[f"mh{i}" for i in range(_K16)],
+        )
+
+    members = _cached_frame(spark, sf_dir, "band_members", build_members)
     reps = members.where(F.col("doc_id") == F.col("rep"))
     band_arr = F.array(
         *[
@@ -461,20 +473,15 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mem.withColumnsRenamed({"rep": "dst", "doc_id": "b"}), "dst")
         .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
     )
-    within = (
-        members.groupBy("gid")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(x AS src, y AS dst))))"
-                )
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
+    # within-exact-group pairs through the SAME ladder, uncapped
+    # (VERDICT r4 #1): parity demands the complete pair set, but a
+    # pathological exact-dup cluster must not flatten C(n,2) pairs in one
+    # task — salted blocks bound every task at ~2·max_bucket members. No
+    # distinct needed: gid partitions the docs, each pair lands in exactly
+    # one block-pair task.
+    within = salted_pairs(
+        members.select("gid", "doc_id"), _MAX_BAND_BUCKET, None,
+        key_cols=("gid",), id_col="doc_id", dedupe=False,
     )
     return cross.unionAll(within)
 
@@ -563,39 +570,48 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than quadratic in an unbounded hot-gram posting list. At the
     driver SFs every gram is far below the cap, so results are identical to
     the exact SQL twin (which applies the same df cap)."""
-    d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
-    # materialize the token array in its OWN projection: referencing the
-    # split() expression from the size guard, the sequence bound, and the
-    # gram lambda re-runs the regex split per reference (no CSE across
-    # the expression tree) — measured 7x on the gram build (4.9 s→0.7 s)
-    dt = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
-    toks = F.col("toks")
-    # docs with <3 tokens yield zero grams (sequence(1,0) would otherwise
-    # expand DESCENDING to [1,0] and slice(toks,0,3) throws — matches the
-    # DuckDB generate_series semantics which emits nothing)
-    gram_idx = F.when(
-        F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = dt.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(gram_idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
-            )
-        ).alias("ng"),
-    ).where(F.col("ng") != "").select("doc_id", F.xxhash64("ng").alias("gh"))
-    postings = _register_persist(
-        grams.groupBy("gh")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") <= _MAX_GRAM_DF)
-        # three consumers (pair-gen + the src/dst size joins) — without a
-        # persist the gram aggregation plans THREE times (measured: zero
-        # ReusedExchange, 2.2x query wall). Eager count = materialization
-        # barrier, so the size-join broadcast futures can't race the
-        # unpopulated cache into double compute (same pattern, and same
-        # event-log evidence, as dedup_spark/pipeline.py).
-    )
-    postings.count()
+    # three consumers (pair-gen + the src/dst size joins) — without a
+    # persist the gram aggregation plans THREE times (measured: zero
+    # ReusedExchange, 2.2x query wall). The keyed persist carries the
+    # eager materialization barrier, so the size-join broadcast futures
+    # can't race the unpopulated cache into double compute (same pattern,
+    # and same event-log evidence, as dedup_spark/pipeline.py).
+    def build_postings():
+        d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+        # materialize the token array in its OWN projection: referencing
+        # the split() expression from the size guard, the sequence bound,
+        # and the gram lambda re-runs the regex split per reference (no
+        # CSE across the expression tree) — measured 7x on the gram build
+        # (4.9 s→0.7 s)
+        dt = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        toks = F.col("toks")
+        # docs with <3 tokens yield zero grams (sequence(1,0) would
+        # otherwise expand DESCENDING to [1,0] and slice(toks,0,3) throws
+        # — matches the DuckDB generate_series semantics which emits
+        # nothing)
+        gram_idx = F.when(
+            F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = dt.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        gram_idx,
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+                    )
+                )
+            ).alias("ng"),
+        ).where(F.col("ng") != "").select(
+            "doc_id", F.xxhash64("ng").alias("gh")
+        )
+        return (
+            grams.groupBy("gh")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .where(F.size("ids") <= _MAX_GRAM_DF)
+        )
+
+    postings = _cached_frame(spark, sf_dir, "ngram_postings", build_postings)
     sizes = postings.select(F.explode("ids").alias("doc_id")).groupBy(
         "doc_id"
     ).agg(F.count("*").alias("n"))

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .lsh import _PAIRS_IN_LIST  # shared pair-enumeration expression
+from .lsh import salted_pairs  # the ONE pair-gen ladder in the repo
 
 
 def group_keys(signatures: DataFrame) -> DataFrame:
@@ -106,23 +106,29 @@ def group_star_pairs(groups: DataFrame) -> DataFrame:
     )
 
 
-def within_group_pairs(groups: DataFrame) -> DataFrame:
+def within_group_pairs(groups: DataFrame, max_b: int = 1024) -> DataFrame:
     """ALL member pairs of every group (jaccard exactly 1) — the quadratic
-    pair surface, materialized only for pair-level outputs/audits."""
-    members = (
-        groups.where(F.col("group_size") > 1)
-        .groupBy("g1", "g2")
-        .agg(F.collect_list("file_id").alias("ids"))
+    pair surface, materialized only for pair-level outputs/audits.
+
+    Routed through the UNCAPPED salted-block ladder (VERDICT r4 #1): the
+    audit contract demands the complete pair set, so nothing is dropped,
+    but a 10^5-member exact-dup boilerplate group is split into
+    ceil(n/max_b)² block-pair tasks instead of one task flattening all
+    C(n,2) pairs. No trailing distinct: group keys partition the ids, so
+    each pair reaches exactly one bucket and the block scheme emits it
+    exactly once."""
+    members = groups.where(F.col("group_size") > 1).select(
+        "g1", "g2", "file_id"
     )
-    return (
-        members.select(F.explode(F.expr(_PAIRS_IN_LIST)).alias("p"))
-        .select(
-            "p.src",
-            "p.dst",
-            F.lit(0).alias("hamming"),
-            F.lit(1.0).alias("jaccard"),
-            F.lit(True).alias("verified"),
-        )
+    return salted_pairs(
+        members, max_b, None, key_cols=("g1", "g2"), id_col="file_id",
+        dedupe=False,
+    ).select(
+        "src",
+        "dst",
+        F.lit(0).alias("hamming"),
+        F.lit(1.0).alias("jaccard"),
+        F.lit(True).alias("verified"),
     )
 
 

@@ -68,6 +68,23 @@ def bucket_stats(buckets: DataFrame) -> DataFrame:
     )
 
 
+def dropped_bucket_metrics(signatures: DataFrame,
+                           cfg: DedupConfig) -> DataFrame:
+    """The candidate ladder's dropped-bucket accounting as a standalone
+    LAZY one-row frame (dropped_buckets, dropped_rows, max_bucket_size) —
+    ``run_pipeline`` returns it so batch runs surface the capped-bucket
+    regime the same way the incremental fold's metrics.jsonl does; it
+    costs a job only when actually collected."""
+    salt_cap = cfg.max_bucket * max(1, cfg.salt)
+    return bucket_stats(band_buckets(signatures, cfg)).where(
+        F.col("bucket_size") > salt_cap
+    ).agg(
+        F.count("*").alias("dropped_buckets"),
+        F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("dropped_rows"),
+        F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
+    )
+
+
 _PAIRS_IN_LIST = (
     "flatten(transform(ids, (x, i) -> "
     "transform(slice(ids, i + 2, size(ids) - i - 1), "
@@ -102,41 +119,92 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     )
 
 
-def salted_pairs(buckets: DataFrame, max_b: int, salt: int,
+def salted_pairs(buckets: DataFrame, max_b: int, salt: int | None,
                  key_cols: tuple[str, ...] = ("band_id", "band_hash"),
                  id_col: str = "file_id",
-                 return_metrics: bool = False):
+                 return_metrics: bool = False,
+                 dedupe: bool = True):
     """The skew-laddered pair generator over arbitrary bucket frames.
 
     ``buckets`` holds one row per (bucket key, member id); key columns and
     the id column are parametric so every bucketed pair-gen in the repo
-    (MinHash band buckets, the entry-level SQL-parity band twin, salted
-    block tests) shares ONE implementation of the ladder:
+    (MinHash band buckets, the entry-level SQL-parity band twin, the
+    within-exact-group audit expansions, salted block tests) shares ONE
+    implementation of the ladder:
       size ≤ max_b        → direct in-partition pair-gen
       size ≤ max_b·salt   → salted blocks, ≤ ~2·max_b members per task
       size > max_b·salt   → dropped, surfaced in the metrics frame
+
+    ``salt=None`` runs the ladder UNCAPPED: nothing is ever dropped, but
+    every bucket still flows through the salted-block scheme, so no single
+    task materializes more than ~2·max_b members' pairs — the contract the
+    audit/parity surfaces need (they must emit the complete pair set, yet
+    a 10^5-member exact-dup boilerplate group must not land C(n,2) pairs
+    in one task). ``dedupe=False`` skips the trailing distinct exchange —
+    correct whenever each member pair can reach at most one bucket (e.g.
+    bucket key = the group key of a partition of the ids), where the block
+    scheme already emits each pair exactly once.
     """
     keys = list(key_cols)
-    salt_cap = max_b * max(1, salt)
-    # mega-bucket pre-filter (ADVICE r2): the window pass buffers each
-    # bucket in ONE task's spillable array, so a power-law boilerplate band
-    # would serialize a whole task on rows that are dropped anyway. A
-    # groupBy count first (map-side partial agg — shuffle volume is
-    # distinct keys, not rows) finds the >salt_cap keys; they are
-    # broadcast-anti-joined out BEFORE the window ever buffers them. Hot
-    # keys are bounded by total_rows/salt_cap (each needs >salt_cap rows),
-    # so the broadcast side stays tiny by construction.
-    hot = (
-        buckets.groupBy(*keys)
-        .agg(F.count("*").alias("bucket_size"))
-        .where(F.col("bucket_size") > salt_cap)
-    )
-    cold = buckets.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+    if salt is None:
+        cold, hot = buckets, None
+    else:
+        salt_cap = max_b * max(1, salt)
+        # mega-bucket pre-filter (ADVICE r2): the window pass buffers each
+        # bucket in ONE task's spillable array, so a power-law boilerplate
+        # band would serialize a whole task on rows that are dropped
+        # anyway. A groupBy count first (map-side partial agg — shuffle
+        # volume is distinct keys, not rows) finds the >salt_cap keys;
+        # they are broadcast-anti-joined out BEFORE the window ever
+        # buffers them. Hot keys are bounded by total_rows/salt_cap (each
+        # needs >salt_cap rows), so the broadcast side stays tiny by
+        # construction.
+        hot = (
+            buckets.groupBy(*keys)
+            .agg(F.count("*").alias("bucket_size"))
+            .where(F.col("bucket_size") > salt_cap)
+        )
+        cold = buckets.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+    groups = _block_tasks(cold, max_b, keys, id_col)
+    pairs = groups.select(
+        F.explode(
+            F.when(F.col("bi") == F.col("bj"), F.expr(_PAIRS_IN_LIST))
+            .otherwise(F.expr(_PAIRS_ACROSS_LISTS))
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    if dedupe:
+        pairs = pairs.distinct()
+    if not return_metrics:
+        return pairs
+    # the dropped-bucket metrics ARE the pre-filter's hot-key table — no
+    # extra pass over the bucket frame (uncapped mode drops nothing by
+    # definition and reports literal zeros)
+    if hot is None:
+        spark = buckets.sparkSession
+        dropped = spark.range(1).select(
+            F.lit(0).alias("dropped_buckets"),
+            F.lit(0).alias("dropped_rows"),
+            F.lit(0).alias("max_bucket_size"),
+        )
+    else:
+        dropped = hot.agg(
+            F.count("*").alias("dropped_buckets"),
+            F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("dropped_rows"),
+            F.coalesce(F.max("bucket_size"), F.lit(0)).alias(
+                "max_bucket_size"),
+        )
+    return pairs, dropped
+
+
+def _block_tasks(cold: DataFrame, max_b: int, keys: list[str],
+                 id_col: str) -> DataFrame:
+    """Bucket members → one row per block-pair task with its (bounded)
+    member lists. Split out of ``salted_pairs`` so tests can assert the
+    per-task list-size bound directly."""
     w = Window.partitionBy(*keys)
     counted = cold.withColumn("bucket_size", F.count("*").over(w)).where(
         F.col("bucket_size") >= 2
     )
-
     # block id per member + one row per block-pair task it belongs to; a
     # member in block b joins tasks (min(b,t), max(b,t)) for every t. The
     # diagonal task pairs within its own member list; off-diagonal tasks
@@ -158,9 +226,9 @@ def salted_pairs(buckets: DataFrame, max_b: int, salt: int,
         .alias("side"),
     )
     # no sort_array: pair canonicalization is least/greatest inside the
-    # pair expressions, and the trailing distinct dedupes — list order is
+    # pair expressions, and the caller dedupes if needed — list order is
     # irrelevant (and sorting every bucket was measurable CPU)
-    groups = tasked.groupBy(*keys, "bi", "bj").agg(
+    return tasked.groupBy(*keys, "bi", "bj").agg(
         F.collect_list(
             F.when(F.col("side") != "r", F.col(id_col))
         ).alias("ids"),
@@ -168,23 +236,3 @@ def salted_pairs(buckets: DataFrame, max_b: int, salt: int,
             F.when(F.col("side") == "r", F.col(id_col))
         ).alias("ids_r"),
     )
-    pairs = (
-        groups.select(
-            F.explode(
-                F.when(F.col("bi") == F.col("bj"), F.expr(_PAIRS_IN_LIST))
-                .otherwise(F.expr(_PAIRS_ACROSS_LISTS))
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
-        .distinct()
-    )
-    if not return_metrics:
-        return pairs
-    # the dropped-bucket metrics ARE the pre-filter's hot-key table — no
-    # extra pass over the bucket frame
-    dropped = hot.agg(
-        F.count("*").alias("dropped_buckets"),
-        F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("dropped_rows"),
-        F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
-    )
-    return pairs, dropped

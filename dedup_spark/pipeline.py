@@ -125,6 +125,14 @@ class Checkpointer:
         # output stays correct (exactly-once is per committed file, not
         # per attempt).
         if meta["rows"] > observed_rows:
+            # remove the _SUCCESS marker BEFORE raising: the dir is already
+            # committed, and a Checkpointer built without a fingerprint
+            # would otherwise happily resume the checkpoint this check just
+            # declared corrupt (ADVICE r4).
+            try:
+                os.remove(os.path.join(path, "_SUCCESS"))
+            except OSError:
+                pass
             raise RuntimeError(
                 f"checkpoint '{stage}': committed footers hold "
                 f"{meta['rows']} rows but the write job observed only "
@@ -176,7 +184,7 @@ def run_pipeline(
       clusters     (file_id, cluster_id) for every corpus row
     """
     from .operators.cluster import cluster_assignments
-    from .operators.lsh import candidate_pairs
+    from .operators.lsh import candidate_pairs, dropped_bucket_metrics
     from .operators.signatures import (
         compute_signatures, compute_signatures_direct,
     )
@@ -327,4 +335,8 @@ def run_pipeline(
         "edges_rep": edges_rep,
         "edges": edges_out,
         "clusters": clusters,
+        # lazy one-row dropped-bucket accounting (no job unless collected):
+        # the batch-path twin of the incremental fold's metrics.jsonl skew
+        # counters — no silent truncation on either path
+        "candidate_metrics": dropped_bucket_metrics(rep_sigs, cfg),
     }

@@ -115,6 +115,27 @@ def _footer_rows(path: str) -> int:
     return total
 
 
+def _part_bytes(path: str) -> int:
+    """Committed on-disk size of a parquet partition — the driver-side
+    measurement every explicit broadcast in this module is gated on."""
+    return sum(
+        os.path.getsize(os.path.join(path, name))
+        for name in os.listdir(path)
+        if name.endswith(".parquet")
+    )
+
+
+def _part_hint(path: str):
+    """Broadcast hint for a COMMITTED partition, gated on its measured
+    footer bytes (VERDICT r4 #3: a row-count gate lets a wide-key future
+    schema smuggle a multi-hundred-MB broadcast past a 2M-row cap; bytes
+    are what the driver actually pays). Parquet compresses ~2-4× vs the
+    in-memory relation, so the cap is set well under the ~1 GB driver
+    comfort zone even after expansion."""
+    return (F.broadcast if _part_bytes(path) <= _BROADCAST_MAX_BYTES
+            else (lambda df: df))
+
+
 def incremental_update(new_corpus: DataFrame, state_dir: str,
                        cfg: DedupConfig | None = None,
                        content_col: str = "content",
@@ -156,12 +177,14 @@ def incremental_update(new_corpus: DataFrame, state_dir: str,
                     spark, state_dir, cfg, b,
                     spark.read.parquet(
                         os.path.join(sig_path, f"batch_id={b}")),
+                    refold=True,
                 )
         batch_id = (existing[-1] + 1) if existing else 0
     elif batch_id in done or batch_id <= wmark:
         return _state_frames(spark, state_dir)  # replayed batch: no-op
 
     sig_part = os.path.join(sig_path, f"batch_id={batch_id}")
+    was_partial = os.path.isdir(sig_part)  # explicit-id replay of a crash
 
     # 1. this batch's signatures → its OWN partition dir. Prior batches'
     # files are never opened for write (append-only state).
@@ -171,14 +194,16 @@ def incremental_update(new_corpus: DataFrame, state_dir: str,
     # fold from the committed partition (cuts the kernel lineage: every
     # downstream action reads parquet instead of re-running the kernel)
     _fold_batch(spark, state_dir, cfg, batch_id,
-                spark.read.parquet(sig_part))
+                spark.read.parquet(sig_part), refold=was_partial)
     return _state_frames(spark, state_dir)
 
 
-# broadcast the batch-derived key frames only while they are small; a
-# 10M-key broadcast would stress the driver for no benefit over a narrow
-# shuffled join
-_BROADCAST_KEY_ROWS = 2_000_000
+# broadcast the batch-derived key frames only while they are small; an
+# oversized broadcast stresses the driver for no benefit over a narrow
+# shuffled join. The gate is BYTES (measured from committed parquet
+# footers or a pair count × row width), not rows, so schema width cannot
+# smuggle a huge broadcast past the cap.
+_BROADCAST_MAX_BYTES = 48 * 1024 * 1024
 
 
 def _prior_parts(state_dir: str, table: str, batch_id: int) -> list[str]:
@@ -224,11 +249,10 @@ def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     # keys once, broadcast the batch's keys both ways — no wide shuffle
     # of state. A giant bootstrap batch takes the no-prior branch; for a
     # later batch too large to broadcast (the delta's committed footers
-    # give its exact row count driver-side, no extra job) the hint is
+    # give its exact byte size driver-side, no extra job) the hint is
     # dropped and Spark shuffles BOTH narrow key tables — still rows of
     # 2-4 longs, never the wide signature state.
-    hint = (F.broadcast if _footer_rows(groups_part) <= _BROADCAST_KEY_ROWS
-            else (lambda df: df))
+    hint = _part_hint(groups_part)
     prior_groups = _prior_parts(state_dir, "groups", batch_id)
     if prior_groups:
         old_touched = (
@@ -294,13 +318,16 @@ def _migrate_state(spark: SparkSession, state_dir: str,
 
 
 def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
-                batch_id: int, new_sigs: DataFrame) -> None:
+                batch_id: int, new_sigs: DataFrame,
+                refold: bool = False) -> None:
     """Fold one batch's committed signature rows into the group/band/edge
     state. Deterministic in (prior state, batch rows), so replaying a
     half-written batch overwrites its own partitions with identical
     content. Every wide shuffle here is proportional to the batch (plus
     touched band buckets), never to the cumulative state — see the module
-    docstring's cost model."""
+    docstring's cost model. ``refold=True`` marks a crash-recovery re-fold
+    in the metrics record, so lineage consumers can tell a repeated
+    batch_id line from a first fold."""
     edge_part = os.path.join(state_dir, "edges", f"batch_id={batch_id}")
     hint, new_bands, groups_part, repsig_part, bands_part = _index_batch(
         spark, state_dir, cfg, batch_id, new_sigs
@@ -311,12 +338,16 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     # broadcast semi-join on the batch's bucket keys before any shuffle;
     # bucket-size caps apply the batch path's no-silent-truncation rule
     # over the touched buckets (untouched buckets generate no pairs and
-    # need no cap check).
+    # need no cap check). The broadcast gate here measures the BAND
+    # partition's committed bytes, not the group delta's (ADVICE r4: one
+    # row per band per born rep — a delta just under the gate could carry
+    # n_bands× more band-key rows).
     salt_cap = cfg.max_bucket * max(1, cfg.salt)
     prior_bands = _prior_parts(state_dir, "bands", batch_id)
     if prior_bands:
+        band_hint = _part_hint(bands_part)
         touched_old = spark.read.parquet(*prior_bands).join(
-            hint(new_bands.select("band_id", "band_hash").distinct()),
+            band_hint(new_bands.select("band_id", "band_hash").distinct()),
             ["band_id", "band_hash"],
         )
         universe = touched_old.unionByName(new_bands)
@@ -328,79 +359,101 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     # the edges write) would otherwise each re-scan every prior bands
     # partition and re-run the semi-join — the same multi-replan pattern
     # the batch path closes with its materialization barriers. The count
-    # also yields the touched-rows lineage counter for free.
+    # also yields the touched-rows lineage counter for free. try/finally:
+    # a verify failure mid-fold (e.g. during stranded-batch recovery) must
+    # not leak the cached frames for the session lifetime.
     universe = universe.persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    universe_rows = universe.count()
-    new_band_rows = _footer_rows(bands_part)
-    sizes = universe.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("bucket_size")
-    )
-    ok_b = universe.join(
-        sizes.where(F.col("bucket_size") <= salt_cap).drop("bucket_size"),
-        ["band_id", "band_hash"],
-    )
-    new_b = new_bands.select(
-        "band_id", "band_hash", F.col("file_id").alias("new_id")
-    )
-    pairs = (
-        new_b.join(ok_b, ["band_id", "band_hash"])
-        .where(F.col("file_id") != F.col("new_id"))
-        .select(
-            F.least("file_id", "new_id").alias("src"),
-            F.greatest("file_id", "new_id").alias("dst"),
+    pairs = None
+    try:
+        universe_rows = universe.count()
+        new_band_rows = _footer_rows(bands_part)
+        sizes = universe.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("bucket_size")
         )
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    )
-    n_pairs = pairs.count()
+        ok_b = universe.join(
+            sizes.where(F.col("bucket_size") <= salt_cap).drop("bucket_size"),
+            ["band_id", "band_hash"],
+        )
+        new_b = new_bands.select(
+            "band_id", "band_hash", F.col("file_id").alias("new_id")
+        )
+        pairs = (
+            new_b.join(ok_b, ["band_id", "band_hash"])
+            .where(F.col("file_id") != F.col("new_id"))
+            .select(
+                F.least("file_id", "new_id").alias("src"),
+                F.greatest("file_id", "new_id").alias("dst"),
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        )
+        # ONE job materializes the pairs cache AND the dropped-bucket
+        # metrics (both read the universe persist); the eager barrier is
+        # still needed — the verify job's broadcast-subquery future would
+        # otherwise race the unpopulated pairs cache into double compute.
+        stats = (
+            pairs.agg(F.count("*").alias("n_pairs"))
+            .crossJoin(
+                sizes.where(F.col("bucket_size") > salt_cap).agg(
+                    F.count("*").alias("dropped_buckets"),
+                    F.coalesce(F.sum("bucket_size"), F.lit(0)).alias(
+                        "dropped_rows"),
+                    F.coalesce(F.max("bucket_size"), F.lit(0)).alias(
+                        "max_bucket_size"),
+                )
+            )
+            .first()
+        )
+        n_pairs = int(stats["n_pairs"])
 
-    # 6. verify: fetch endpoint sketches from the rep-signature state via
-    # a semi-join (scan-only; no shuffle of the wide state). The
-    # broadcast hint for the endpoint set is gated on the MEASURED pair
-    # count (the delta-size gate above measures the wrong frame here —
-    # pair volume can dwarf the group delta).
-    ep_hint = (F.broadcast if 2 * n_pairs <= _BROADCAST_KEY_ROWS
-               else (lambda df: df))
-    endpoint_ids = (
-        pairs.select(F.col("src").alias("file_id"))
-        .unionAll(pairs.select(F.col("dst").alias("file_id")))
-        .distinct()
-    )
-    all_repsigs = spark.read.parquet(
-        *(_prior_parts(state_dir, "repsigs", batch_id) + [repsig_part])
-    )
-    verify_side = all_repsigs.join(ep_hint(endpoint_ids), "file_id")
-    rep_edges = verify_pairs(
-        pairs, verify_side, verify_side.select("file_id", "shingles"), cfg
-    ).where("verified")
+        # 6. verify: fetch endpoint sketches from the rep-signature state
+        # via a semi-join (scan-only; no shuffle of the wide state). The
+        # broadcast hint for the endpoint set is gated on the MEASURED
+        # pair count (the delta-size gate above measures the wrong frame
+        # here — pair volume can dwarf the group delta): ≤16 bytes of id
+        # per pair, against the same bytes cap as every other broadcast.
+        ep_hint = (F.broadcast if 16 * n_pairs <= _BROADCAST_MAX_BYTES
+                   else (lambda df: df))
+        endpoint_ids = (
+            pairs.select(F.col("src").alias("file_id"))
+            .unionAll(pairs.select(F.col("dst").alias("file_id")))
+            .distinct()
+        )
+        all_repsigs = spark.read.parquet(
+            *(_prior_parts(state_dir, "repsigs", batch_id) + [repsig_part])
+        )
+        verify_side = all_repsigs.join(ep_hint(endpoint_ids), "file_id")
+        rep_edges = verify_pairs(
+            pairs, verify_side, verify_side.select("file_id", "shingles"), cfg
+        ).where("verified")
 
-    # 7. commit edges (the batch marker), then the lineage/skew metrics —
-    # same dropped-bucket surface as operators/lsh.py candidate_pairs,
-    # plus the state-proportionality counters the append-only design is
-    # accountable to (tests assert these stay ∝ batch, not ∝ state).
-    rep_edges.write.mode("overwrite").parquet(edge_part)
-    dropped = sizes.where(F.col("bucket_size") > salt_cap).agg(
-        F.count("*").alias("dropped_buckets"),
-        F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("dropped_rows"),
-        F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
-    ).first()
-    meta = {
-        "batch_id": batch_id,
-        "new_rows": _footer_rows(os.path.join(
-            state_dir, "signatures", f"batch_id={batch_id}")),
-        "new_edges": _footer_rows(edge_part),
-        "new_groups": _footer_rows(groups_part),
-        "born_groups": _footer_rows(repsig_part),
-        "candidate_pairs": n_pairs,
-        "touched_old_band_rows": universe_rows - new_band_rows,
-        "dropped_buckets": int(dropped["dropped_buckets"]),
-        "dropped_rows": int(dropped["dropped_rows"]),
-        "max_bucket_size": int(dropped["max_bucket_size"]),
-    }
-    with open(os.path.join(state_dir, "metrics.jsonl"), "a") as f:
-        f.write(json.dumps(meta) + "\n")
-    universe.unpersist()
-    pairs.unpersist()
+        # 7. commit edges (the batch marker), then the lineage/skew
+        # metrics — same dropped-bucket surface as operators/lsh.py
+        # candidate_pairs, plus the state-proportionality counters the
+        # append-only design is accountable to (tests assert these stay
+        # ∝ batch, not ∝ state).
+        rep_edges.write.mode("overwrite").parquet(edge_part)
+        meta = {
+            "batch_id": batch_id,
+            "new_rows": _footer_rows(os.path.join(
+                state_dir, "signatures", f"batch_id={batch_id}")),
+            "new_edges": _footer_rows(edge_part),
+            "new_groups": _footer_rows(groups_part),
+            "born_groups": _footer_rows(repsig_part),
+            "candidate_pairs": n_pairs,
+            "touched_old_band_rows": universe_rows - new_band_rows,
+            "dropped_buckets": int(stats["dropped_buckets"]),
+            "dropped_rows": int(stats["dropped_rows"]),
+            "max_bucket_size": int(stats["max_bucket_size"]),
+        }
+        if refold:
+            meta["refold"] = True
+        with open(os.path.join(state_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(meta) + "\n")
+    finally:
+        universe.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
 
 
 def _watermark(state_dir: str) -> int:

@@ -170,6 +170,32 @@ def test_ngram_pairs_short_docs(spark, tmp_path):
     assert [(r["src"], r["dst"], r["jaccard"]) for r in got] == [(2, 3, 1.0)]
 
 
+def test_entry_persist_cache_stable(spark):
+    """ADVICE/VERDICT r4 #5: repeated query invocations in one session must
+    REUSE the module's keyed persists, not stack a new cached frame per
+    call; release_caches() must leave no pinned RDD blocks behind."""
+    import __spark_entry__ as e
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    e.release_caches()
+    sf = "/root/testdata/sf0.001"
+    base = n_persisted()
+    e.q_minhash_band_candidates(spark, sf).count()
+    e.q_ngram_jaccard_pairs(spark, sf).count()
+    after_first = n_persisted()
+    assert after_first > base  # the shared frames are cached
+    # second pass: same keys → same frames, zero new persists
+    e.q_minhash_band_candidates(spark, sf).count()
+    e.q_ngram_jaccard_pairs(spark, sf).count()
+    e.q_simhash_docs(spark, sf).count()  # shares the tokh frame
+    assert n_persisted() == after_first
+    e.release_caches()
+    assert n_persisted() == base
+    assert e._FRAME_CACHE == {}
+
+
 def test_multimodal_decoder_dispatch():
     """The decode kernel is selected by import probe: real when PIL is
     importable, deterministic fake otherwise — the 'one-function swap'

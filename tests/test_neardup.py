@@ -155,6 +155,116 @@ def test_salted_pairs_generic_keys(spark):
     assert d["dropped_buckets"] == 1 and d["dropped_rows"] == 7
 
 
+def test_salted_pairs_uncapped_ladder(spark):
+    """salt=None (VERDICT r4 #1): the UNCAPPED ladder must emit the
+    COMPLETE pair set of any bucket — nothing dropped at any size — while
+    still splitting the work into blocks so no task holds more than
+    ~2·max_b members. dedupe=False must emit each pair exactly once when
+    the bucket key partitions the ids."""
+    from itertools import combinations
+
+    from dedup_spark.operators.lsh import _block_tasks, salted_pairs
+
+    n = 100  # 25x the direct cap of max_b=4 — deep into the block regime
+    buckets = spark.createDataFrame(
+        [("g", i) for i in range(n)], "bkt string, doc_id long"
+    )
+    rows = salted_pairs(
+        buckets, 4, None, key_cols=("bkt",), id_col="doc_id", dedupe=False
+    ).collect()
+    got = [(r["src"], r["dst"]) for r in rows]
+    want = {tuple(sorted(p)) for p in combinations(range(n), 2)}
+    assert set(got) == want
+    assert len(got) == len(want)  # exactly-once: no distinct needed
+    # per-task bound: every block-pair task's combined member lists stay
+    # within a small multiple of max_b (hash-multinomial block sizes
+    # concentrate at bucket_size/nb ≤ max_b; deterministic via xxhash64)
+    sizes = [
+        r["m"]
+        for r in _block_tasks(buckets, 4, ["bkt"], "doc_id")
+        .select((F.size("ids") + F.size("ids_r")).alias("m"))
+        .collect()
+    ]
+    assert max(sizes) <= 4 * 4, max(sizes)
+    # uncapped metrics surface reports literal zeros
+    _, dropped = salted_pairs(
+        buckets, 4, None, key_cols=("bkt",), id_col="doc_id",
+        return_metrics=True,
+    )
+    d = dropped.collect()[0]
+    assert d["dropped_buckets"] == 0 and d["dropped_rows"] == 0
+
+
+def test_within_group_pairs_bounded_tasks(spark):
+    """VERDICT r4 #1: a mega exact-dup group flows through the salted
+    block ladder — complete within-group pair output (audit contract:
+    nothing dropped), but no single task flattens C(n,2) of one group."""
+    from itertools import combinations
+
+    from dedup_spark.operators.groups import within_group_pairs
+
+    n = 120
+    groups = spark.createDataFrame(
+        [(i, 7, 9, 0, n) for i in range(n)]
+        + [(200, 1, 2, 200, 1)],  # singleton group: must emit nothing
+        "file_id long, g1 long, g2 long, rep long, group_size long",
+    )
+    out = within_group_pairs(groups, max_b=10).collect()
+    got = [(r["src"], r["dst"]) for r in out]
+    want = {tuple(sorted(p)) for p in combinations(range(n), 2)}
+    assert set(got) == want
+    assert len(got) == len(want)  # exactly once each, no singleton pairs
+    assert all(
+        r["jaccard"] == 1.0 and r["hamming"] == 0 and r["verified"]
+        for r in out
+    )
+
+
+def test_capped_bucket_regime_e2e(spark, corpus, tmp_path_factory):
+    """VERDICT r4 #6: drive buckets past max_bucket·salt through the FULL
+    pipeline AND the incremental fold. The dropped-bucket counters must
+    land on both metrics surfaces, verified edges from un-dropped buckets
+    survive, and the incremental path is strictly more complete in the
+    capped regime (a bucket keeps the edges it earned while small)."""
+    import json
+
+    tiny = DedupConfig(max_bucket=4, salt=1)
+    res = run_pipeline(corpus, tiny)
+    m = res["candidate_metrics"].collect()[0]
+    assert m["dropped_buckets"] > 0
+    assert m["max_bucket_size"] > tiny.max_bucket * tiny.salt
+    capped = {
+        (r["src"], r["dst"])
+        for r in res["edges"].where("verified").collect()
+    }
+    uncapped = {
+        (r["src"], r["dst"])
+        for r in run_pipeline(corpus, DedupConfig(max_bucket=1_000_000))[
+            "edges"
+        ].where("verified").collect()
+    }
+    assert capped <= uncapped  # drops never invent pairs
+    assert len(capped) > 0
+
+    # incremental: fold two halves under the same tiny caps
+    from dedup_spark.streaming import expanded_edges, incremental_update
+
+    state = str(tmp_path_factory.mktemp("state_capped"))
+    incremental_update(corpus.where("file_id < 200"), state, tiny)
+    incremental_update(corpus.where("file_id >= 200"), state, tiny)
+    with open(os.path.join(state, "metrics.jsonl")) as f:
+        lines = [json.loads(ln) for ln in f]
+    assert sum(ln["dropped_buckets"] for ln in lines) > 0
+    inc = {
+        (r["src"], r["dst"])
+        for r in expanded_edges(spark, state).where("verified").collect()
+    }
+    # documented capped-regime semantics: incremental keeps edges earned
+    # before a bucket crossed the cap — never fewer than the one-shot run
+    assert inc >= capped
+    assert inc <= uncapped
+
+
 def test_verify_two_phase_equivalence(result):
     """Size-tiered verify (VERDICT r3 #6): with the hamming gate active,
     the two-phase plan (narrow simhash joins first, shingle sketches only

@@ -165,6 +165,14 @@ def test_stranded_batch_recovery(spark, tmp_path_factory):
         os.path.join(state, "edges", "batch_id=2", "_SUCCESS"))
     batch_edges = _pairs(run_pipeline(corpus, CFG)["edges"].where("verified"))
     assert _pairs(expanded_edges(spark, state).where("verified")) == batch_edges
+    # lineage (ADVICE r4): the re-fold appends a SECOND metrics line for
+    # batch 1, flagged so consumers can tell it from the first fold
+    with open(os.path.join(state, "metrics.jsonl")) as f:
+        lines = [json.loads(ln) for ln in f]
+    b1 = [m for m in lines if m["batch_id"] == 1]
+    assert len(b1) == 2
+    assert "refold" not in b1[0] and b1[1]["refold"] is True
+    assert not any(m.get("refold") for m in lines if m["batch_id"] != 1)
 
 
 def test_state_compaction(spark, tmp_path_factory):
@@ -233,6 +241,31 @@ def test_old_format_state_migration(spark, tmp_path_factory):
         ], table
     batch_edges = _pairs(run_pipeline(corpus, CFG)["edges"].where("verified"))
     assert _pairs(expanded_edges(spark, state).where("verified")) == batch_edges
+
+
+def test_broadcast_gate_is_bytes_based(spark, tmp_path_factory, monkeypatch):
+    """VERDICT r4 #3: the explicit-broadcast gate measures committed
+    parquet BYTES, so a wide-key schema cannot smuggle an oversized
+    broadcast past a row-count cap — few rows but fat payload must drop
+    the hint."""
+    from dedup_spark import streaming as st
+
+    p = os.path.join(str(tmp_path_factory.mktemp("wide")), "part")
+    spark.range(64).select(
+        "id",
+        F.sha2(F.col("id").cast("string"), 512).alias("wide_key"),
+    ).write.mode("overwrite").parquet(p)
+    committed = st._part_bytes(p)
+    assert committed > 0
+    # cap below the committed size: hint must degrade to identity even
+    # though the row count (64) is trivially broadcastable
+    monkeypatch.setattr(st, "_BROADCAST_MAX_BYTES", committed - 1)
+    assert st._part_hint(p) is not F.broadcast
+    df = spark.range(3)
+    assert st._part_hint(p)(df) is df  # identity, not a hinted copy
+    # cap above: broadcast allowed
+    monkeypatch.setattr(st, "_BROADCAST_MAX_BYTES", committed + 1)
+    assert st._part_hint(p) is F.broadcast
 
 
 def test_structured_streaming_wrapper(spark, tmp_path_factory):
