@@ -83,6 +83,8 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -188,13 +190,15 @@ def incremental_update(new_corpus: DataFrame, state_dir: str,
 
     # 1. this batch's signatures → its OWN partition dir. Prior batches'
     # files are never opened for write (append-only state).
-    compute_signatures(new_corpus, cfg, content_col, id_col).write.mode(
-        "overwrite"
-    ).parquet(sig_part)
+    phases: dict = {}
+    _timed(phases, "signatures_write", lambda: compute_signatures(
+        new_corpus, cfg, content_col, id_col
+    ).write.mode("overwrite").parquet(sig_part))
     # fold from the committed partition (cuts the kernel lineage: every
     # downstream action reads parquet instead of re-running the kernel)
     _fold_batch(spark, state_dir, cfg, batch_id,
-                spark.read.parquet(sig_part), refold=was_partial)
+                spark.read.parquet(sig_part), refold=was_partial,
+                phases=phases)
     return _state_frames(spark, state_dir)
 
 
@@ -206,6 +210,33 @@ def incremental_update(new_corpus: DataFrame, state_dir: str,
 _BROADCAST_MAX_BYTES = 48 * 1024 * 1024
 
 
+class _CapturingThread(threading.Thread):
+    """Thread whose exception is re-raised at join() — a failed concurrent
+    state write must fail the fold, never be swallowed."""
+
+    def run(self):
+        self._exc = None
+        try:
+            super().run()
+        except BaseException as e:  # re-raised at join
+            self._exc = e
+
+    def join(self, timeout=None):
+        super().join(timeout)
+        if getattr(self, "_exc", None) is not None:
+            raise self._exc
+
+
+def _timed(phases: dict, key: str, fn):
+    """Run one job/commit barrier and record its wall in ``phases`` (ms) —
+    the per-batch fixed-cost itemization that lands in metrics.jsonl as
+    ``phase_ms``, so fold overhead is attributable without event logs."""
+    t0 = time.time()
+    out = fn()
+    phases[key] = phases.get(key, 0) + int((time.time() - t0) * 1000)
+    return out
+
+
 def _prior_parts(state_dir: str, table: str, batch_id: int) -> list[str]:
     return [
         os.path.join(state_dir, table, f"batch_id={b}")
@@ -215,16 +246,39 @@ def _prior_parts(state_dir: str, table: str, batch_id: int) -> list[str]:
 
 
 def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
-                 batch_id: int, new_sigs: DataFrame):
+                 batch_id: int, new_sigs: DataFrame,
+                 phases: dict | None = None, bands_async: bool = False):
     """Build/rebuild one batch's NARROW index partitions (members, group
     delta, born-rep sketches, born-rep bands) from its signature rows.
     Deterministic in (prior narrow state, batch rows). Returns
-    ``(hint, new_bands, groups_part, repsig_part, bands_part)``."""
+    ``(hint, new_bands, groups_part, repsig_part, bands_part, bands_th)``
+    where ``new_bands`` is the band LINEAGE over the committed repsigs
+    partition (column-pruned parquet scan, identical rows to the bands
+    partition) and ``bands_th``, when ``bands_async``, is a started thread
+    committing the bands partition concurrently with the caller's
+    bucket-stats job — the caller must ``join()`` it (and surface its
+    error) before committing the batch's edges marker."""
     from .operators.groups import group_keys
 
+    phases = {} if phases is None else phases
     groups_part = os.path.join(state_dir, "groups", f"batch_id={batch_id}")
     repsig_part = os.path.join(state_dir, "repsigs", f"batch_id={batch_id}")
     bands_part = os.path.join(state_dir, "bands", f"batch_id={batch_id}")
+    sig_part = os.path.join(state_dir, "signatures", f"batch_id={batch_id}")
+
+    # Output-file sizing for the map-only state writes: without a shuffle,
+    # AQE cannot coalesce, so each write would emit one file per input
+    # split — 32-64 near-empty files per narrow table at small batches
+    # (measured: members totalled 0.15 MB across 32 files), taxing every
+    # later listing/footer pass. The coalesce factor is INPUT-proportional
+    # (committed parquet footers, driver-side): bytes/64MB so a 100 GB
+    # batch still fans out to parallel tasks, floored at n_files/8 so a
+    # single coalesced task never serially opens dozens of small inputs
+    # (measured: coalesce(1) over a 64-file partition spent its time in
+    # file opens, not work).
+    def _k(path: str) -> int:
+        n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        return max(1, _part_bytes(path) // (64 << 20), n_files // 8)
 
     # 2. narrow membership map + group-key delta for THIS batch only:
     # one member row per matchable file, one delta row per distinct
@@ -232,9 +286,9 @@ def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     # part — xxhash64 over the wide shingle/minhash arrays — runs ONCE
     # here; every later consumer reads 3-long rows.
     members_part = os.path.join(state_dir, "members", f"batch_id={batch_id}")
-    group_keys(new_sigs.drop("batch_id")).write.mode("overwrite").parquet(
-        members_part
-    )
+    _timed(phases, "members_write", lambda: group_keys(
+        new_sigs.drop("batch_id")
+    ).coalesce(_k(sig_part)).write.mode("overwrite").parquet(members_part))
     new_members = spark.read.parquet(members_part)
     new_delta = (
         new_members
@@ -242,7 +296,8 @@ def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
         .agg(F.min("file_id").alias("rep_delta"),
              F.count("*").alias("cnt_delta"))
     )
-    new_delta.write.mode("overwrite").parquet(groups_part)
+    _timed(phases, "groups_write",
+           lambda: new_delta.write.mode("overwrite").parquet(groups_part))
     new_delta = spark.read.parquet(groups_part)
 
     # 3. born-group detection against the PRIOR narrow deltas: scan old
@@ -271,15 +326,24 @@ def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     # 4. newborn representatives' signature rows + their narrow band rows
     # become state; the rep is pinned at birth (membership-based
     # expansion makes the endpoint choice irrelevant downstream).
-    new_sigs.drop("batch_id").join(
+    _timed(phases, "repsigs_write", lambda: new_sigs.drop("batch_id").join(
         hint(born_reps), "file_id"
-    ).write.mode("overwrite").parquet(repsig_part)
+    ).coalesce(_k(sig_part)).write.mode("overwrite").parquet(repsig_part))
     new_rep_sigs = spark.read.parquet(repsig_part)
-    band_buckets(new_rep_sigs, cfg).write.mode("overwrite").parquet(
-        bands_part
-    )
-    new_bands = spark.read.parquet(bands_part)
-    return hint, new_bands, groups_part, repsig_part, bands_part
+    new_bands = band_buckets(new_rep_sigs, cfg)
+
+    def _write_bands():
+        _timed(phases, "bands_write", lambda: new_bands.coalesce(
+            _k(repsig_part)
+        ).write.mode("overwrite").parquet(bands_part))
+
+    bands_th = None
+    if bands_async:
+        bands_th = _CapturingThread(target=_write_bands)
+        bands_th.start()
+    else:
+        _write_bands()
+    return hint, new_bands, groups_part, repsig_part, bands_part, bands_th
 
 
 def _migrate_state(spark: SparkSession, state_dir: str,
@@ -319,7 +383,7 @@ def _migrate_state(spark: SparkSession, state_dir: str,
 
 def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
                 batch_id: int, new_sigs: DataFrame,
-                refold: bool = False) -> None:
+                refold: bool = False, phases: dict | None = None) -> None:
     """Fold one batch's committed signature rows into the group/band/edge
     state. Deterministic in (prior state, batch rows), so replaying a
     half-written batch overwrites its own partitions with identical
@@ -328,9 +392,15 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     docstring's cost model. ``refold=True`` marks a crash-recovery re-fold
     in the metrics record, so lineage consumers can tell a repeated
     batch_id line from a first fold."""
+    phases = {} if phases is None else phases
     edge_part = os.path.join(state_dir, "edges", f"batch_id={batch_id}")
-    hint, new_bands, groups_part, repsig_part, bands_part = _index_batch(
-        spark, state_dir, cfg, batch_id, new_sigs
+    # bands_async: the bands-partition commit is pure state maintenance
+    # that nothing below reads (the fold consumes the band LINEAGE over
+    # the committed repsigs partition), so it overlaps the bucket-stats
+    # job; it is joined — errors re-raised — before the edges marker.
+    hint, new_bands, groups_part, repsig_part, bands_part, bands_th = (
+        _index_batch(spark, state_dir, cfg, batch_id, new_sigs, phases,
+                     bands_async=True)
     )
 
     # 5. candidate pairs: newborn reps vs members of the band buckets
@@ -345,7 +415,13 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     salt_cap = cfg.max_bucket * max(1, cfg.salt)
     prior_bands = _prior_parts(state_dir, "bands", batch_id)
     if prior_bands:
-        band_hint = _part_hint(bands_part)
+        # exact band-key volume, driver-side: born reps (committed repsig
+        # footers) × bands/rep × ~24 B/row. The bands partition itself may
+        # still be committing on the async writer, so it cannot be
+        # measured here — but this product IS its row count.
+        band_rows = _footer_rows(repsig_part) * cfg.bands
+        band_hint = (F.broadcast if 24 * band_rows <= _BROADCAST_MAX_BYTES
+                     else (lambda df: df))
         touched_old = spark.read.parquet(*prior_bands).join(
             band_hint(new_bands.select("band_id", "band_hash").distinct()),
             ["band_id", "band_hash"],
@@ -355,21 +431,35 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
         universe = new_bands
     from pyspark import StorageLevel
 
-    # persist + eager count: three consumers (pair-gen, the drop metrics,
-    # the edges write) would otherwise each re-scan every prior bands
+    # persist the universe: three consumers (the stats job, the pair join,
+    # the endpoint set) would otherwise each re-scan every prior bands
     # partition and re-run the semi-join — the same multi-replan pattern
-    # the batch path closes with its materialization barriers. The count
-    # also yields the touched-rows lineage counter for free. try/finally:
+    # the batch path closes with its materialization barriers. try/finally:
     # a verify failure mid-fold (e.g. during stranded-batch recovery) must
-    # not leak the cached frames for the session lifetime.
+    # not leak the cached frame for the session lifetime.
     universe = universe.persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    pairs = None
     try:
-        universe_rows = universe.count()
-        new_band_rows = _footer_rows(bands_part)
+        # ONE small job both materializes the universe cache (its single
+        # linear branch cannot race itself, unlike the multi-consumer
+        # edges job below) and returns every bucket-size statistic: the
+        # dropped-skew counters AND the total row count (sum of all
+        # bucket sizes == universe rows — no separate count() barrier).
         sizes = universe.groupBy("band_id", "band_hash").agg(
             F.count("*").alias("bucket_size")
         )
+        stats = _timed(phases, "bucket_stats", sizes.agg(
+            F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("universe_rows"),
+            F.coalesce(F.sum(F.when(
+                F.col("bucket_size") > salt_cap, F.col("bucket_size")
+            )), F.lit(0)).alias("dropped_rows"),
+            F.count(F.when(
+                F.col("bucket_size") > salt_cap, F.lit(1)
+            )).alias("dropped_buckets"),
+            F.coalesce(F.max("bucket_size"), F.lit(0)).alias(
+                "max_bucket_size"),
+        ).first)
+        universe_rows = int(stats["universe_rows"])
+
         ok_b = universe.join(
             sizes.where(F.col("bucket_size") <= salt_cap).drop("bucket_size"),
             ["band_id", "band_hash"],
@@ -385,40 +475,27 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
                 F.greatest("file_id", "new_id").alias("dst"),
             )
             .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK_DESER)
         )
-        # ONE job materializes the pairs cache AND the dropped-bucket
-        # metrics (both read the universe persist); the eager barrier is
-        # still needed — the verify job's broadcast-subquery future would
-        # otherwise race the unpopulated pairs cache into double compute.
-        stats = (
-            pairs.agg(F.count("*").alias("n_pairs"))
-            .crossJoin(
-                sizes.where(F.col("bucket_size") > salt_cap).agg(
-                    F.count("*").alias("dropped_buckets"),
-                    F.coalesce(F.sum("bucket_size"), F.lit(0)).alias(
-                        "dropped_rows"),
-                    F.coalesce(F.max("bucket_size"), F.lit(0)).alias(
-                        "max_bucket_size"),
-                )
-            )
-            .first()
-        )
-        n_pairs = int(stats["n_pairs"])
+        # pair-count lineage rides the edges job as an observation — no
+        # dedicated count job. Task retries can inflate an observe()
+        # accumulator, so it is a metric, never a gate (same rule as the
+        # checkpoint cross-check in pipeline.py).
+        from pyspark.sql import Observation
+
+        obs = Observation(f"fold_pairs_{batch_id}")
+        pairs = pairs.observe(obs, F.count(F.lit(1)).alias("n_pairs"))
 
         # 6. verify: fetch endpoint sketches from the rep-signature state
         # via a semi-join (scan-only; no shuffle of the wide state). The
-        # broadcast hint for the endpoint set is gated on the MEASURED
-        # pair count (the delta-size gate above measures the wrong frame
-        # here — pair volume can dwarf the group delta): ≤16 bytes of id
-        # per pair, against the same bytes cap as every other broadcast.
-        ep_hint = (F.broadcast if 16 * n_pairs <= _BROADCAST_MAX_BYTES
+        # endpoint superset is the universe's FILE ids — derived from the
+        # persisted narrow frame, NOT from the pair set, so the pair join
+        # stays single-consumer inside the edges job (a pairs-derived
+        # endpoint set would put the unpopulated pair plan in two
+        # concurrent branches and double-compute it). Broadcast gate:
+        # ≤8 bytes per universe row against the common bytes cap.
+        ep_hint = (F.broadcast if 8 * universe_rows <= _BROADCAST_MAX_BYTES
                    else (lambda df: df))
-        endpoint_ids = (
-            pairs.select(F.col("src").alias("file_id"))
-            .unionAll(pairs.select(F.col("dst").alias("file_id")))
-            .distinct()
-        )
+        endpoint_ids = universe.select("file_id").distinct()
         all_repsigs = spark.read.parquet(
             *(_prior_parts(state_dir, "repsigs", batch_id) + [repsig_part])
         )
@@ -431,8 +508,14 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
         # metrics — same dropped-bucket surface as operators/lsh.py
         # candidate_pairs, plus the state-proportionality counters the
         # append-only design is accountable to (tests assert these stay
-        # ∝ batch, not ∝ state).
-        rep_edges.write.mode("overwrite").parquet(edge_part)
+        # ∝ batch, not ∝ state). Every index partition (bands included —
+        # join the concurrent writer, re-raising its error) must be
+        # committed BEFORE the marker.
+        if bands_th is not None:
+            bands_th.join()
+        new_band_rows = _footer_rows(bands_part)
+        _timed(phases, "edges_write",
+               lambda: rep_edges.write.mode("overwrite").parquet(edge_part))
         meta = {
             "batch_id": batch_id,
             "new_rows": _footer_rows(os.path.join(
@@ -440,20 +523,24 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
             "new_edges": _footer_rows(edge_part),
             "new_groups": _footer_rows(groups_part),
             "born_groups": _footer_rows(repsig_part),
-            "candidate_pairs": n_pairs,
+            "candidate_pairs": int(obs.get["n_pairs"]),
             "touched_old_band_rows": universe_rows - new_band_rows,
             "dropped_buckets": int(stats["dropped_buckets"]),
             "dropped_rows": int(stats["dropped_rows"]),
             "max_bucket_size": int(stats["max_bucket_size"]),
+            "phase_ms": phases,
         }
         if refold:
             meta["refold"] = True
         with open(os.path.join(state_dir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(meta) + "\n")
     finally:
+        if bands_th is not None and bands_th.is_alive():
+            try:
+                bands_th.join()
+            except BaseException:
+                pass  # a primary exception is already propagating
         universe.unpersist()
-        if pairs is not None:
-            pairs.unpersist()
 
 
 def _watermark(state_dir: str) -> int:
@@ -578,17 +665,56 @@ def compact_state(spark: SparkSession, state_dir: str) -> dict:
     return {"through": w, "merged_batches": len(merged_ids)}
 
 
+class _StateFrames(dict):
+    """Lazy read-view over the dedup state. Building the DataFrame PLANS
+    (especially the expanded_edges multi-join) costs ~0.4-0.5 s of driver
+    py4j round-trips, which every incremental_update used to pay even when
+    the caller never touched the returned frames (the common steady-state
+    fold loop). Each frame is constructed on first access and memoized;
+    compaction recovery runs before any read so a half-compacted layout is
+    never served."""
+
+    _KEYS = ("signatures", "edges_compact", "edges")
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._state_dir = state_dir
+
+    def _build(self, key: str) -> DataFrame:
+        _recover_compaction(self._state_dir)
+        if key == "signatures":
+            return self._spark.read.parquet(
+                os.path.join(self._state_dir, "signatures"))
+        if key == "edges_compact":
+            return self._spark.read.parquet(
+                os.path.join(self._state_dir, "edges"))
+        if key == "edges":
+            # member-level verified pair surface (lazy, quadratic in group
+            # sizes — audits only, parity with run_pipeline()["edges"])
+            return expanded_edges(self._spark, self._state_dir)
+        raise KeyError(key)
+
+    def __getitem__(self, key: str) -> DataFrame:
+        if not super().__contains__(key):
+            super().__setitem__(key, self._build(key))
+        return super().__getitem__(key)
+
+    def __contains__(self, key) -> bool:
+        return key in self._KEYS
+
+    def keys(self):
+        return self._KEYS
+
+    def __iter__(self):
+        return iter(self._KEYS)
+
+    def __len__(self) -> int:
+        return len(self._KEYS)
+
+
 def _state_frames(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:
-    _recover_compaction(state_dir)
-    sigs = spark.read.parquet(os.path.join(state_dir, "signatures"))
-    compact = spark.read.parquet(os.path.join(state_dir, "edges"))
-    return {
-        "signatures": sigs,
-        "edges_compact": compact,
-        # member-level verified pair surface (lazy, quadratic in group
-        # sizes — audits only, parity with run_pipeline()["edges"])
-        "edges": expanded_edges(spark, state_dir),
-    }
+    return _StateFrames(spark, state_dir)
 
 
 def _groups_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
