@@ -94,15 +94,42 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
 DRIVER_FINALIZE_EDGES = 500_000  # collect threshold: ~8 MB of (u,v) longs
 
 
-def _assign_from_edges(pairs: list) -> "DataFrame":
-    """Driver-side union-find over a bounded edge list → assignments for
-    every vertex present (cluster id = component min)."""
-    from ..oracle import UnionFind, oracle_clusters
+def _assign_from_edges(pairs) -> dict:  # list of (u,v) or (n,2) array
+    """Driver-side connected components over a bounded edge list →
+    {vertex: component-min} for every vertex present.
 
-    uf = UnionFind()
-    for u, v in pairs:
-        uf.union(u, v)
-    return oracle_clusters(list(uf.parent), pairs)
+    Vectorized min-label propagation with pointer jumping (numpy): each
+    round relaxes every edge to the endpoint minimum, then chases label
+    chains to their roots; distances halve per round, so convergence is
+    O(log n) vectorized passes. Replaces the pure-Python union-find loop
+    here (~0.6 s at 10^5 edges — a fixed driver cost the scaling tail paid
+    at every parallelism level); the union-find stays in oracle.py as the
+    independent reference implementation the tests compare against."""
+    import numpy as np
+
+    if len(pairs) == 0:
+        return {}
+    e = np.asarray(pairs, dtype=np.int64)
+    ids = np.unique(e)
+    iu = np.searchsorted(ids, e[:, 0])
+    iv = np.searchsorted(ids, e[:, 1])
+    # labels are indices into the SORTED id array, so the minimum index of
+    # a component is also its minimum id
+    label = np.arange(ids.size, dtype=np.int64)
+    while True:
+        before = label
+        m = np.minimum(label[iu], label[iv])
+        label = label.copy()
+        np.minimum.at(label, iu, m)
+        np.minimum.at(label, iv, m)
+        while True:  # pointer jumping to the current roots
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(label, before):
+            break
+    return dict(zip(ids.tolist(), ids[label].tolist()))
 
 
 def _assign_df(spark, assign: dict) -> DataFrame:
@@ -141,9 +168,7 @@ def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int,
     if n_edges <= DRIVER_FINALIZE_EDGES:
         pdf = canon.toPandas()
         canon.unpersist()
-        assign = _assign_from_edges(
-            list(zip(pdf["u"].tolist(), pdf["v"].tolist()))
-        )
+        assign = _assign_from_edges(pdf[["u", "v"]].to_numpy())
         return _assign_df(spark, assign)
 
     e = canon.repartition(n_partitions).localCheckpoint(eager=True)
@@ -177,9 +202,7 @@ def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int,
             # small remainder: finish on the driver (saves the last few
             # rounds of stage-barrier latency)
             pdf = e.select("u", "v").toPandas()
-            assign = _assign_from_edges(
-                list(zip(pdf["u"].tolist(), pdf["v"].tolist()))
-            )
+            assign = _assign_from_edges(pdf[["u", "v"]].to_numpy())
             return _assign_df(spark, assign)
     if not converged:
         # NEVER return silently-partial labels (the failure mode of the
