@@ -55,6 +55,16 @@ it is only consumed by the on-demand audit surfaces (``expanded_edges``
 Iceberg table bucketed by file_id so the endpoint fetch prunes to
 point-lookups instead of a scan.
 
+Fixed-cost budget (round 5 — the per-batch commit count is the small-
+batch throughput limiter): a fold is seven Spark jobs — signatures,
+members, group delta, born-rep sketches, a CONCURRENT bands commit
+(joined before the edges marker), one bucket-stats job that both
+materializes the narrow universe cache and returns every skew/row
+counter, and the verify+edges commit carrying the candidate-pair count
+as an observe() metric. Map-only state writes size their output files
+from measured input bytes (never a fixed fan-out), and each phase's wall
+lands in ``metrics.jsonl`` as ``phase_ms``.
+
 Skew + contraction parity with the batch path (operators/lsh.py +
 operators/groups.py): candidate pairs are generated between signature
 GROUP REPRESENTATIVES only — one new exact copy of an M-member
@@ -455,8 +465,11 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
             F.count(F.when(
                 F.col("bucket_size") > salt_cap, F.lit(1)
             )).alias("dropped_buckets"),
-            F.coalesce(F.max("bucket_size"), F.lit(0)).alias(
-                "max_bucket_size"),
+            # max over DROPPED buckets only — same semantics as the batch
+            # path's dropped_bucket_metrics frame (0 when nothing dropped)
+            F.coalesce(F.max(F.when(
+                F.col("bucket_size") > salt_cap, F.col("bucket_size")
+            )), F.lit(0)).alias("max_bucket_size"),
         ).first)
         universe_rows = int(stats["universe_rows"])
 
@@ -700,11 +713,23 @@ class _StateFrames(dict):
             super().__setitem__(key, self._build(key))
         return super().__getitem__(key)
 
+    # every read path must funnel through the lazy __getitem__ — the
+    # plain-dict implementations would silently return the (empty)
+    # underlying storage
+    def get(self, key, default=None):
+        return self[key] if key in self._KEYS else default
+
     def __contains__(self, key) -> bool:
         return key in self._KEYS
 
     def keys(self):
         return self._KEYS
+
+    def items(self):
+        return [(k, self[k]) for k in self._KEYS]
+
+    def values(self):
+        return [self[k] for k in self._KEYS]
 
     def __iter__(self):
         return iter(self._KEYS)

@@ -243,6 +243,25 @@ def test_old_format_state_migration(spark, tmp_path_factory):
     assert _pairs(expanded_edges(spark, state).where("verified")) == batch_edges
 
 
+def test_state_frames_lazy_mapping(spark, tmp_path_factory):
+    """incremental_update returns a LAZY frame mapping (plan construction
+    deferred to first access); every dict-style read path must go through
+    the lazy builder — a plain dict .get/.items would silently return
+    nothing."""
+    corpus = corpus_df(spark, 60, seed=3).cache()
+    state = str(tmp_path_factory.mktemp("state_lazy"))
+    out = incremental_update(corpus, state, CFG)
+    assert set(out.keys()) == {"signatures", "edges_compact", "edges"}
+    assert len(out) == 3 and "edges" in out
+    assert out.get("edges") is not None
+    assert out.get("nope", 42) == 42
+    assert {k for k, _ in out.items()} == set(out.keys())
+    assert all(v is not None for v in out.values())
+    assert out["signatures"].count() == 60
+    # memoized: second access returns the same DataFrame object
+    assert out["edges"] is out["edges"]
+
+
 def test_broadcast_gate_is_bytes_based(spark, tmp_path_factory, monkeypatch):
     """VERDICT r4 #3: the explicit-broadcast gate measures committed
     parquet BYTES, so a wide-key schema cannot smuggle an oversized
