@@ -721,6 +721,75 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v ORDER BY doc_id
 )
 
 
+def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated-corpus manifest — the artifact a training-data
+    pipeline actually materializes from this engine: every document with
+    its near-dup cluster label and a keep flag (the cluster minimum is the
+    retained representative; all other members are the removed near-dups).
+    Docs touching no near-dup edge are singleton clusters and are kept.
+
+    Scale shape: the CC label table is one narrow (doc_id, cluster_id)
+    row per doc IN an edge — tiny next to the corpus — left-joined onto
+    the document ids; at 100 TB this is a standard narrow equi-join (the
+    label side broadcasts while it fits, shuffles otherwise). Oracle:
+    recursive-CTE closure, identical keep rule."""
+    cc = q_neardup_components(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return d.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")
+         ).alias("keep"),
+        "n_chars",
+    )
+
+
+def q_dedup_reduction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus-reduction headline: how many documents and
+    characters near-dup dedup removes (the document-granularity analog of
+    the reference's Blocks()/dedup-ratio accounting, over the survivors
+    manifest)."""
+    s = q_neardup_survivors(spark, sf_dir)
+    kept_chars = F.sum(F.when(F.col("keep"), F.col("n_chars")))
+    return s.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        (F.count("*") - F.sum(F.col("keep").cast("long"))).alias("n_removed"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        kept_chars.cast("long").alias("chars_kept"),
+        F.round(1.0 - kept_chars / F.sum("n_chars"), 6).alias(
+            "char_reduction"),
+    )
+
+
+_SURVIVORS_CORE = _CC_SQL.replace(
+    """SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v ORDER BY doc_id
+""",
+    """, cc AS (
+    SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+)
+SELECT d.doc_id,
+       coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       (coalesce(cc.cluster_id, d.doc_id) = d.doc_id) AS keep,
+       d.n_chars
+FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+""",
+)
+
+_REDUCTION_SQL = f"""
+WITH s AS ({_SURVIVORS_CORE})
+SELECT count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(CASE WHEN keep THEN n_chars END) AS BIGINT) AS chars_kept,
+       round(1.0 - sum(CASE WHEN keep THEN n_chars END) / sum(n_chars), 6)
+         AS char_reduction
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------
@@ -1115,6 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "neardup_components": q_neardup_components,
+        "neardup_survivors": q_neardup_survivors,
+        "dedup_reduction_stats": q_dedup_reduction_stats,
         "embedding_neighbors": q_embedding_neighbors,
         "embedding_topk": q_embedding_topk,
         "embedding_ann": q_embedding_ann,
@@ -1309,6 +1380,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _simhash_sql(),
         "ngram_jaccard_pairs": _NGRAM_SQL,
         "neardup_components": _CC_SQL,
+        "neardup_survivors": _SURVIVORS_CORE,
+        "dedup_reduction_stats": _REDUCTION_SQL,
         "embedding_neighbors": _EMB_SQL,
         "embedding_topk": _EMB_TOPK_SQL,
         "embedding_ann": _ann_sql(),
