@@ -418,10 +418,10 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     # broadcast semi-join on the batch's bucket keys before any shuffle;
     # bucket-size caps apply the batch path's no-silent-truncation rule
     # over the touched buckets (untouched buckets generate no pairs and
-    # need no cap check). The broadcast gate here measures the BAND
-    # partition's committed bytes, not the group delta's (ADVICE r4: one
-    # row per band per born rep — a delta just under the gate could carry
-    # n_bands× more band-key rows).
+    # need no cap check). The broadcast gate here sizes the BAND-KEY
+    # frame, never the group delta (ADVICE r4: one row per band per born
+    # rep — a delta just under the gate could carry n_bands× more
+    # band-key rows).
     salt_cap = cfg.max_bucket * max(1, cfg.salt)
     prior_bands = _prior_parts(state_dir, "bands", batch_id)
     if prior_bands:
