@@ -176,8 +176,14 @@ def main():
     # the host, not the code. Both medians are reported; the all-reps one
     # stays the official headline.
     def clean(rs):
+        # a rep is "clean" only if BOTH canaries stayed in the host's
+        # normal mode at both endpoints: bandwidth ≥1000 MB/s (normal
+        # ~3500-8000, degraded 10-25) AND single-thread blake2b ≥550 MB/s
+        # (normal ~640-710; round-5 sweep B caught a 92.8 s degraded rep
+        # whose bandwidth stayed nominal while CPU fell to 452)
         out = [r for r in rs
-               if min(c[1] for c in r.get("calib", [[0, 1e9]])) >= 1000]
+               if min(c[1] for c in r.get("calib", [[0, 1e9]])) >= 1000
+               and min(c[0] for c in r.get("calib", [[1e9, 0]])) >= 550]
         return out
 
     clean_lo, clean_hi = clean(results[lo]), clean(results[hi])
