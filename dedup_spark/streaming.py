@@ -56,14 +56,17 @@ Iceberg table bucketed by file_id so the endpoint fetch prunes to
 point-lookups instead of a scan.
 
 Fixed-cost budget (round 5 — the per-batch commit count is the small-
-batch throughput limiter): a fold is seven Spark jobs — signatures,
-members, group delta, born-rep sketches, a CONCURRENT bands commit
-(joined before the edges marker), one bucket-stats job that both
-materializes the narrow universe cache and returns every skew/row
-counter, and the verify+edges commit carrying the candidate-pair count
-as an observe() metric. Map-only state writes size their output files
-from measured input bytes (never a fixed fan-out), and each phase's wall
-lands in ``metrics.jsonl`` as ``phase_ms``.
+batch throughput limiter): a fold is seven Spark jobs, five of them
+sequential barriers — signatures, members, born-rep sketches, one
+bucket-stats job that both materializes the narrow universe cache and
+returns every skew/row counter, and the verify+edges commit carrying
+the candidate-pair count as an observe() metric — plus CONCURRENT
+group-delta and bands commits (threads joined before the edges
+marker; born-group detection consumes the delta lineage over the
+committed members partition, so nothing waits on the delta commit).
+Map-only state writes size their output files from measured input bytes
+(never a fixed fan-out), and each phase's wall lands in
+``metrics.jsonl`` as ``phase_ms``.
 
 Skew + contraction parity with the batch path (operators/lsh.py +
 operators/groups.py): candidate pairs are generated between signature
@@ -257,17 +260,22 @@ def _prior_parts(state_dir: str, table: str, batch_id: int) -> list[str]:
 
 def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
                  batch_id: int, new_sigs: DataFrame,
-                 phases: dict | None = None, bands_async: bool = False):
+                 phases: dict | None = None, bands_async: bool = False,
+                 groups_async: bool = False):
     """Build/rebuild one batch's NARROW index partitions (members, group
     delta, born-rep sketches, born-rep bands) from its signature rows.
     Deterministic in (prior narrow state, batch rows). Returns
-    ``(hint, new_bands, groups_part, repsig_part, bands_part, bands_th)``
+    ``(new_bands, groups_part, repsig_part, bands_part, threads)``
     where ``new_bands`` is the band LINEAGE over the committed repsigs
     partition (column-pruned parquet scan, identical rows to the bands
-    partition) and ``bands_th``, when ``bands_async``, is a started thread
-    committing the bands partition concurrently with the caller's
-    bucket-stats job — the caller must ``join()`` it (and surface its
-    error) before committing the batch's edges marker."""
+    partition) and ``threads`` holds the started writer threads (group
+    delta when ``groups_async``, bands when ``bands_async``) committing
+    their partitions concurrently with the caller's jobs — the caller
+    must ``join()`` each (surfacing its error) before committing the
+    batch's edges marker. With ``groups_async`` the born-group detection
+    consumes the delta LINEAGE over the committed members partition (a
+    narrow re-agg of 3-long rows ∝ batch) instead of waiting on the
+    delta commit, removing one sequential job barrier per fold."""
     from .operators.groups import group_keys
 
     phases = {} if phases is None else phases
@@ -306,18 +314,35 @@ def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
         .agg(F.min("file_id").alias("rep_delta"),
              F.count("*").alias("cnt_delta"))
     )
-    _timed(phases, "groups_write",
-           lambda: new_delta.write.mode("overwrite").parquet(groups_part))
-    new_delta = spark.read.parquet(groups_part)
+
+    def _write_groups():
+        _timed(phases, "groups_write", lambda: new_delta.write.mode(
+            "overwrite").parquet(groups_part))
+
+    threads: list[_CapturingThread] = []
+    if groups_async:
+        # the delta commit is pure state maintenance here: born-group
+        # detection below consumes the delta lineage over the committed
+        # members partition, so the write overlaps the repsigs job. The
+        # re-agg it implies inside each consumer shuffles 3-long member
+        # rows (∝ batch) — never the wide signatures.
+        groups_th = _CapturingThread(target=_write_groups)
+        groups_th.start()
+        threads.append(groups_th)
+    else:
+        _write_groups()
+        new_delta = spark.read.parquet(groups_part)
 
     # 3. born-group detection against the PRIOR narrow deltas: scan old
     # keys once, broadcast the batch's keys both ways — no wide shuffle
     # of state. A giant bootstrap batch takes the no-prior branch; for a
-    # later batch too large to broadcast (the delta's committed footers
-    # give its exact byte size driver-side, no extra job) the hint is
-    # dropped and Spark shuffles BOTH narrow key tables — still rows of
-    # 2-4 longs, never the wide signature state.
-    hint = _part_hint(groups_part)
+    # later batch too large to broadcast the hint is dropped and Spark
+    # shuffles BOTH narrow key tables — still rows of 2-4 longs, never
+    # the wide signature state. Gate bytes come from the committed
+    # members footers (delta rows ≤ member rows at comparable width —
+    # an upper bound that needs no extra job and no wait on the async
+    # delta commit).
+    hint = _part_hint(members_part)
     prior_groups = _prior_parts(state_dir, "groups", batch_id)
     if prior_groups:
         old_touched = (
@@ -347,13 +372,13 @@ def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
             _k(repsig_part)
         ).write.mode("overwrite").parquet(bands_part))
 
-    bands_th = None
     if bands_async:
         bands_th = _CapturingThread(target=_write_bands)
         bands_th.start()
+        threads.append(bands_th)
     else:
         _write_bands()
-    return hint, new_bands, groups_part, repsig_part, bands_part, bands_th
+    return new_bands, groups_part, repsig_part, bands_part, threads
 
 
 def _migrate_state(spark: SparkSession, state_dir: str,
@@ -404,13 +429,15 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     batch_id line from a first fold."""
     phases = {} if phases is None else phases
     edge_part = os.path.join(state_dir, "edges", f"batch_id={batch_id}")
-    # bands_async: the bands-partition commit is pure state maintenance
-    # that nothing below reads (the fold consumes the band LINEAGE over
-    # the committed repsigs partition), so it overlaps the bucket-stats
-    # job; it is joined — errors re-raised — before the edges marker.
-    hint, new_bands, groups_part, repsig_part, bands_part, bands_th = (
+    # groups_async/bands_async: the delta and bands commits are pure
+    # state maintenance that nothing below reads (the fold consumes the
+    # band LINEAGE over the committed repsigs partition, and born-group
+    # detection the delta lineage over committed members), so they
+    # overlap the repsigs/bucket-stats jobs; each is joined — errors
+    # re-raised — before the edges marker.
+    new_bands, groups_part, repsig_part, bands_part, threads = (
         _index_batch(spark, state_dir, cfg, batch_id, new_sigs, phases,
-                     bands_async=True)
+                     bands_async=True, groups_async=True)
     )
 
     # 5. candidate pairs: newborn reps vs members of the band buckets
@@ -521,11 +548,11 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
         # metrics — same dropped-bucket surface as operators/lsh.py
         # candidate_pairs, plus the state-proportionality counters the
         # append-only design is accountable to (tests assert these stay
-        # ∝ batch, not ∝ state). Every index partition (bands included —
-        # join the concurrent writer, re-raising its error) must be
-        # committed BEFORE the marker.
-        if bands_th is not None:
-            bands_th.join()
+        # ∝ batch, not ∝ state). Every index partition (groups and bands
+        # included — join the concurrent writers, re-raising their
+        # errors) must be committed BEFORE the marker.
+        for th in threads:
+            th.join()
         new_band_rows = _footer_rows(bands_part)
         _timed(phases, "edges_write",
                lambda: rep_edges.write.mode("overwrite").parquet(edge_part))
@@ -548,11 +575,12 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
         with open(os.path.join(state_dir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(meta) + "\n")
     finally:
-        if bands_th is not None and bands_th.is_alive():
-            try:
-                bands_th.join()
-            except BaseException:
-                pass  # a primary exception is already propagating
+        for th in threads:
+            if th.is_alive():
+                try:
+                    th.join()
+                except BaseException:
+                    pass  # a primary exception is already propagating
         universe.unpersist()
 
 

@@ -287,6 +287,41 @@ def test_broadcast_gate_is_bytes_based(spark, tmp_path_factory, monkeypatch):
     assert st._part_hint(p) is F.broadcast
 
 
+def test_concurrent_writer_failure_fails_fold(spark, tmp_path_factory,
+                                              monkeypatch):
+    """The group-delta and bands partitions commit on concurrent threads;
+    a failure there must fail the fold (no edges marker = batch not
+    committed) and be recoverable by the stranded-batch re-fold — never
+    be swallowed into a half-indexed committed batch."""
+    from dedup_spark import streaming as st
+
+    corpus = corpus_df(spark, 80, seed=31).cache()
+    state = str(tmp_path_factory.mktemp("state_thfail"))
+    incremental_update(corpus.where("file_id < 40"), state, CFG)
+
+    real_timed = st._timed
+
+    def boom(phases, key, fn):
+        if key == "groups_write":
+            raise RuntimeError("injected delta-commit failure")
+        return real_timed(phases, key, fn)
+
+    monkeypatch.setattr(st, "_timed", boom)
+    with pytest.raises(RuntimeError, match="injected delta-commit"):
+        incremental_update(corpus.where("file_id >= 40"), state, CFG)
+    # the batch is NOT committed: signatures landed, edges marker did not
+    assert os.path.isdir(os.path.join(state, "signatures", "batch_id=1"))
+    assert not os.path.exists(
+        os.path.join(state, "edges", "batch_id=1", "_SUCCESS"))
+
+    # next fold re-folds the stranded batch and the result equals batch
+    monkeypatch.setattr(st, "_timed", real_timed)
+    incremental_update(corpus.where("file_id >= 40"), state, CFG,
+                       batch_id=1)
+    batch_edges = _pairs(run_pipeline(corpus, CFG)["edges"].where("verified"))
+    assert _pairs(expanded_edges(spark, state).where("verified")) == batch_edges
+
+
 def test_structured_streaming_wrapper(spark, tmp_path_factory):
     corpus = corpus_df(spark, 120, seed=13).cache()
     in_dir = str(tmp_path_factory.mktemp("stream_in"))
