@@ -24,7 +24,15 @@ corpus, so committed batch partitions are immutable):
   repsigs/batch_id=K/      signature rows of the group representatives
                            BORN in this batch (one per new group)
   bands/batch_id=K/        (band_id, band_hash, file_id) of the born
-                           representatives — the narrow LSH index state
+                           representatives — the narrow LSH index state.
+                           Batches over ``state_bucket_min_rows`` commit
+                           it BUCKETED (hive subdirs ``bh<P>=K``, K =
+                           band_hash mod P, P = ``state_buckets`` encoded
+                           in the column name so layouts self-describe
+                           and mix freely): the fold's touched-bucket
+                           read then partition-prunes to the buckets the
+                           batch can join, so the one remaining O(state)
+                           scan term follows the batch instead
   edges/batch_id=K/        verified representative-level edges discovered
                            by this batch (compact — the within-group
                            connectivity is derivable from membership and
@@ -119,25 +127,30 @@ def _batch_dirs(path: str) -> list[int]:
     return sorted(out)
 
 
+def _parquet_files(path: str) -> list[str]:
+    """All parquet data files under a committed partition, recursing into
+    hive-style subdirectories (the bucketed bands layout)."""
+    out = []
+    for dirpath, _, names in os.walk(path):
+        out.extend(
+            os.path.join(dirpath, n) for n in names if n.endswith(".parquet")
+        )
+    return out
+
+
 def _footer_rows(path: str) -> int:
     """Row count from parquet footers — driver-side metadata, no Spark job."""
     import pyarrow.parquet as pq
 
-    total = 0
-    for name in os.listdir(path):
-        if name.endswith(".parquet"):
-            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
-    return total
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path)
+    )
 
 
 def _part_bytes(path: str) -> int:
     """Committed on-disk size of a parquet partition — the driver-side
     measurement every explicit broadcast in this module is gated on."""
-    return sum(
-        os.path.getsize(os.path.join(path, name))
-        for name in os.listdir(path)
-        if name.endswith(".parquet")
-    )
+    return sum(os.path.getsize(f) for f in _parquet_files(path))
 
 
 def _part_hint(path: str):
@@ -258,6 +271,92 @@ def _prior_parts(state_dir: str, table: str, batch_id: int) -> list[str]:
     ]
 
 
+# --- bucketed bands-state layout ---------------------------------------
+# A bands partition is either FLAT (parquet files directly in the batch
+# dir — small batches, the historical layout) or BUCKETED: hive subdirs
+# ``bh<P>=K`` where K = band_hash mod P. The layout is self-describing
+# (P is encoded in the partition-column name), so partitions written
+# under different ``state_buckets`` settings coexist and no sidecar
+# metadata can go stale. Bucketing exists for ONE reason: the fold's
+# touched-bucket semi-join used to SCAN every prior band row each batch
+# (narrow, but O(state)); against a bucketed partition the reader prunes
+# to the batch's touched buckets and scan cost follows the batch.
+_BUCKET_RE = re.compile(r"bh(\d+)=")
+# don't pay the touched-bucket job until the prunable state is big enough
+# for the saved scan to dwarf one tiny Spark job (~0.3 s)
+_PRUNE_MIN_BYTES = 64 * 1024 * 1024
+# and never collect an unbounded hash list to the driver: past this many
+# band rows the batch touches ~every bucket anyway (the touched SET stays
+# ≤ P, but the collect itself would ship band_rows values)
+_PRUNE_MAX_HASHES = 100_000
+
+
+def _bucket_scheme(path: str) -> int | None:
+    """P if the committed partition uses the bucketed layout, else None."""
+    for name in os.listdir(path):
+        m = _BUCKET_RE.match(name)
+        if m:
+            return int(m.group(1))
+    return None
+
+
+def _read_band_parts(spark: SparkSession, bands_root: str, parts: list[str],
+                     touched_hashes: list[int] | None = None):
+    """Read band-state partitions of ANY layout mix as one
+    (band_id, band_hash, file_id) frame. ``touched_hashes`` (the distinct
+    band hashes of the current batch) enables partition pruning on
+    bucketed parts: only buckets that can contain a joinable row are
+    read; flat parts are always scanned in full. Returns
+    ``(frame, buckets_read, buckets_total)`` where the counts cover the
+    bucketed parts only (equal when nothing was pruned)."""
+    cols = ["band_id", "band_hash", "file_id"]
+    by_scheme: dict[int | None, list[str]] = {}
+    for p in parts:
+        by_scheme.setdefault(_bucket_scheme(p), []).append(p)
+    frames = []
+    buckets_read = buckets_total = 0
+    for scheme, group in by_scheme.items():
+        if scheme is None:
+            frames.append(spark.read.parquet(*group).select(*cols))
+            continue
+        df = spark.read.option("basePath", bands_root).parquet(*group)
+        present = [
+            int(name.split("=", 1)[1])
+            for p in group for name in os.listdir(p)
+            if _BUCKET_RE.match(name)
+        ]
+        buckets_total += len(present)
+        if touched_hashes is not None:
+            touched = {h % scheme for h in touched_hashes}
+            df = df.where(F.col(f"bh{scheme}").isin(sorted(touched)))
+            # dirs actually read: present buckets ∩ touched, per part
+            buckets_read += sum(1 for b in present if b in touched)
+        else:
+            buckets_read += len(present)
+        frames.append(df.select(*cols))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out, buckets_read, buckets_total
+
+
+def _write_band_part(df: DataFrame, path: str, cfg: DedupConfig,
+                     batch_rows: int, flat_coalesce: int) -> None:
+    """Commit one bands partition in the layout the batch size warrants:
+    bucketed (hive ``bh<P>=`` subdirs, ≤1 file per bucket via a narrow
+    repartition on the bucket column) when the batch clears
+    ``state_bucket_min_rows``, else the flat single-dir layout."""
+    P = cfg.state_buckets
+    if P > 1 and batch_rows >= cfg.state_bucket_min_rows:
+        col = f"bh{P}"
+        (df.withColumn(col, F.pmod(F.col("band_hash"), F.lit(P))
+                       .cast("int"))
+           .repartition(col)
+           .write.mode("overwrite").partitionBy(col).parquet(path))
+    else:
+        df.coalesce(flat_coalesce).write.mode("overwrite").parquet(path)
+
+
 def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
                  batch_id: int, new_sigs: DataFrame,
                  phases: dict | None = None, bands_async: bool = False,
@@ -295,7 +394,7 @@ def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     # (measured: coalesce(1) over a 64-file partition spent its time in
     # file opens, not work).
     def _k(path: str) -> int:
-        n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        n_files = len(_parquet_files(path))
         return max(1, _part_bytes(path) // (64 << 20), n_files // 8)
 
     # 2. narrow membership map + group-key delta for THIS batch only:
@@ -368,9 +467,11 @@ def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     new_bands = band_buckets(new_rep_sigs, cfg)
 
     def _write_bands():
-        _timed(phases, "bands_write", lambda: new_bands.coalesce(
-            _k(repsig_part)
-        ).write.mode("overwrite").parquet(bands_part))
+        _timed(phases, "bands_write", lambda: _write_band_part(
+            new_bands, bands_part, cfg,
+            batch_rows=_footer_rows(sig_part),
+            flat_coalesce=_k(repsig_part),
+        ))
 
     if bands_async:
         bands_th = _CapturingThread(target=_write_bands)
@@ -451,6 +552,7 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     # band-key rows).
     salt_cap = cfg.max_bucket * max(1, cfg.salt)
     prior_bands = _prior_parts(state_dir, "bands", batch_id)
+    buckets_read = buckets_total = 0
     if prior_bands:
         # exact band-key volume, driver-side: born reps (committed repsig
         # footers) × bands/rep × ~24 B/row. The bands partition itself may
@@ -459,7 +561,29 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
         band_rows = _footer_rows(repsig_part) * cfg.bands
         band_hint = (F.broadcast if 24 * band_rows <= _BROADCAST_MAX_BYTES
                      else (lambda df: df))
-        touched_old = spark.read.parquet(*prior_bands).join(
+        # cost-gated partition pruning of the prior band index: one tiny
+        # job collects the batch's distinct band hashes (bounded by
+        # band_rows — the gate keeps it far under the bucket count, where
+        # pruning can't pay anyway) and bucketed prior partitions are
+        # then read only where a joinable row can live. Paid only when
+        # the prunable state is big enough that the saved scan dwarfs
+        # the job; flat partitions always scan in full.
+        prunable = sum(
+            _part_bytes(p) for p in prior_bands if _bucket_scheme(p)
+        )
+        touched_hashes = None
+        if prunable > _PRUNE_MIN_BYTES and band_rows <= _PRUNE_MAX_HASHES:
+            touched_hashes = [
+                r[0] for r in _timed(
+                    phases, "touched_buckets",
+                    new_bands.select("band_hash").distinct().collect,
+                )
+            ]
+        prior_df, buckets_read, buckets_total = _read_band_parts(
+            spark, os.path.join(state_dir, "bands"), prior_bands,
+            touched_hashes,
+        )
+        touched_old = prior_df.join(
             band_hint(new_bands.select("band_id", "band_hash").distinct()),
             ["band_id", "band_hash"],
         )
@@ -568,6 +692,11 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
             "dropped_buckets": int(stats["dropped_buckets"]),
             "dropped_rows": int(stats["dropped_rows"]),
             "max_bucket_size": int(stats["max_bucket_size"]),
+            # state-scan accountability: of the prior band index's hive
+            # bucket dirs, how many this fold actually read (read==total
+            # when pruning was gated off or the layout is flat)
+            "band_state_buckets_read": buckets_read,
+            "band_state_buckets_total": buckets_total,
             "phase_ms": phases,
         }
         if refold:
@@ -631,7 +760,8 @@ def _recover_compaction(state_dir: str) -> None:
     os.remove(jpath)
 
 
-def compact_state(spark: SparkSession, state_dir: str) -> dict:
+def compact_state(spark: SparkSession, state_dir: str,
+                  cfg: DedupConfig | None = None) -> dict:
     """Log-structured maintenance compaction (run out of band, like an
     Iceberg rewrite): merge every committed batch's NARROW delta
     partitions (groups / members / repsigs / bands / edges) into one base partition
@@ -649,6 +779,7 @@ def compact_state(spark: SparkSession, state_dir: str) -> dict:
     to run while any batch is stranded (signatures without edges)."""
     import shutil
 
+    cfg = cfg or DedupConfig()
     _recover_compaction(state_dir)
     sig_ids = _batch_dirs(os.path.join(state_dir, "signatures"))
     done = set(_batch_dirs(os.path.join(state_dir, "edges")))
@@ -670,15 +801,28 @@ def compact_state(spark: SparkSession, state_dir: str) -> dict:
         if len(ids) <= 1:
             continue
         merged_ids = sorted(set(merged_ids) | set(ids))
-        df = spark.read.parquet(
-            *(os.path.join(tdir, f"batch_id={b}") for b in ids)
-        )
+        dirs = [os.path.join(tdir, f"batch_id={b}") for b in ids]
+        tmp = os.path.join(tdir, ".compact_tmp")
+        if table == "bands":
+            # layout-aware read (flat and bh<P>= bucketed partitions may
+            # coexist); the merged base is where bucketing pays most, so
+            # it is written bucketed whenever the merged volume warrants
+            df, _, _ = _read_band_parts(spark, tdir, dirs)
+            _write_band_part(
+                df, tmp, cfg,
+                batch_rows=sum(_footer_rows(d) for d in dirs),
+                flat_coalesce=max(
+                    1, sum(_part_bytes(d) for d in dirs) // (64 << 20)
+                ),
+            )
+            continue
+        df = spark.read.parquet(*dirs)
         if table == "groups":
             df = df.groupBy("g1", "g2").agg(
                 F.min("rep_delta").alias("rep_delta"),
                 F.sum("cnt_delta").alias("cnt_delta"),
             )
-        df.write.mode("overwrite").parquet(os.path.join(tdir, ".compact_tmp"))
+        df.write.mode("overwrite").parquet(tmp)
     if not merged_ids:
         return {"through": w0, "merged_batches": 0}
     # watermark FIRST (replay no-op guard must cover the ids whose edges

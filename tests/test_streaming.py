@@ -287,6 +287,55 @@ def test_broadcast_gate_is_bytes_based(spark, tmp_path_factory, monkeypatch):
     assert st._part_hint(p) is F.broadcast
 
 
+def test_bucketed_band_state_and_pruned_fold(spark, tmp_path_factory,
+                                             monkeypatch):
+    """100 TB scale path: bands state committed in the self-describing
+    bucketed layout (bh<P>= hive subdirs) lets a small batch's fold
+    partition-prune the prior band index to its touched buckets — scan
+    cost follows the batch, not the state — with results identical to
+    the flat layout and the one-shot batch run."""
+    from dedup_spark import streaming as st
+
+    cfg = DedupConfig(state_buckets=64, state_bucket_min_rows=0)
+    corpus = corpus_df(spark, 142, seed=37).cache()
+    state = str(tmp_path_factory.mktemp("state_bucket"))
+    incremental_update(corpus.where("file_id < 139"), state, cfg)
+    b0 = os.path.join(state, "bands", "batch_id=0")
+    assert st._bucket_scheme(b0) == 64
+    assert any(n.startswith("bh64=") for n in os.listdir(b0))
+
+    # a 1-file batch touches ≤ cfg.bands buckets of the 64 — with the
+    # prune gate forced on, the fold must read strictly fewer bucket
+    # dirs than exist, and still produce batch-identical results
+    monkeypatch.setattr(st, "_PRUNE_MIN_BYTES", 0)
+    incremental_update(corpus.where("file_id = 139"), state, cfg)
+    lines = [json.loads(l) for l in open(os.path.join(state, "metrics.jsonl"))]
+    m1 = lines[1]
+    assert "touched_buckets" in m1["phase_ms"]
+    assert 0 < m1["band_state_buckets_read"] <= CFG.bands
+    assert m1["band_state_buckets_read"] < m1["band_state_buckets_total"]
+    part = _pairs(run_pipeline(
+        corpus.where("file_id < 140"), CFG)["edges"].where("verified"))
+    assert _pairs(expanded_edges(spark, state).where("verified")) == part
+
+    # compaction keeps the bucketed layout on the merged base (that is
+    # where bucketing pays most) and changes no derived result
+    out = compact_state(spark, state, cfg)
+    assert out["merged_batches"] == 2
+    base = os.path.join(state, "bands", "batch_id=1")
+    assert st._bucket_scheme(base) == 64
+    assert _pairs(expanded_edges(spark, state).where("verified")) == part
+
+    # a further small fold against the bucketed base (mixed-reader path)
+    # still prunes and still matches the one-shot batch run
+    incremental_update(corpus.where("file_id >= 140"), state, cfg)
+    lines = [json.loads(l) for l in open(os.path.join(state, "metrics.jsonl"))]
+    m2 = lines[-1]
+    assert m2["band_state_buckets_read"] < m2["band_state_buckets_total"]
+    batch_edges = _pairs(run_pipeline(corpus, CFG)["edges"].where("verified"))
+    assert _pairs(expanded_edges(spark, state).where("verified")) == batch_edges
+
+
 def test_concurrent_writer_failure_fails_fold(spark, tmp_path_factory,
                                               monkeypatch):
     """The group-delta and bands partitions commit on concurrent threads;
