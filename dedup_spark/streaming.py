@@ -22,7 +22,13 @@ corpus, so committed batch partitions are immutable):
                            expanded_edges) avoid re-hashing the wide
                            signature rows
   repsigs/batch_id=K/      signature rows of the group representatives
-                           BORN in this batch (one per new group)
+                           BORN in this batch (one per new group).
+                           Batches over ``state_bucket_min_rows`` commit
+                           it BUCKETED on file_id (``fb<P>=K`` subdirs)
+                           so later folds' verify-endpoint fetch prunes
+                           to the buckets its endpoints can live in —
+                           the local analog of an Iceberg table bucketed
+                           by file_id serving point-lookups
   bands/batch_id=K/        (band_id, band_hash, file_id) of the born
                            representatives — the narrow LSH index state.
                            Batches over ``state_bucket_min_rows`` commit
@@ -55,13 +61,13 @@ batch, an O(state-rows) wide shuffle of ~10 KB signature rows): shuffles
 now touch only (a) the batch's own rows, (b) the narrow group-key deltas
 of the batch, and (c) members of band buckets actually TOUCHED by the
 batch's newborn groups. Prior state is read as NARROW tables (group
-deltas: 4 longs/row; bands: 3 longs/row) plus a scan of ``repsigs``
-restricted by a broadcast semi-join for the verify-endpoint sketch
-fetch; the wide cumulative ``signatures`` table is never re-shuffled —
-it is only consumed by the on-demand audit surfaces (``expanded_edges``
-/ ``current_clusters``). On a real deployment ``repsigs`` would be an
-Iceberg table bucketed by file_id so the endpoint fetch prunes to
-point-lookups instead of a scan.
+deltas: 4 longs/row; bands: 3 longs/row) plus a bucket-pruned read of
+``repsigs`` restricted by a broadcast semi-join for the verify-endpoint
+sketch fetch (fb-bucketed partitions are opened only where an endpoint
+id can live — the local analog of Iceberg point-lookups on a
+file_id-bucketed table); the wide cumulative ``signatures`` table is
+never re-shuffled — it is only consumed by the on-demand audit surfaces
+(``expanded_edges`` / ``current_clusters``).
 
 Fixed-cost budget (round 5 — the per-batch commit count is the small-
 batch throughput limiter): a fold is seven Spark jobs, five of them
@@ -271,86 +277,94 @@ def _prior_parts(state_dir: str, table: str, batch_id: int) -> list[str]:
     ]
 
 
-# --- bucketed bands-state layout ---------------------------------------
-# A bands partition is either FLAT (parquet files directly in the batch
+# --- bucketed state layout ---------------------------------------------
+# A state partition is either FLAT (parquet files directly in the batch
 # dir — small batches, the historical layout) or BUCKETED: hive subdirs
-# ``bh<P>=K`` where K = band_hash mod P. The layout is self-describing
-# (P is encoded in the partition-column name), so partitions written
-# under different ``state_buckets`` settings coexist and no sidecar
-# metadata can go stale. Bucketing exists for ONE reason: the fold's
-# touched-bucket semi-join used to SCAN every prior band row each batch
-# (narrow, but O(state)); against a bucketed partition the reader prunes
-# to the batch's touched buckets and scan cost follows the batch.
-_BUCKET_RE = re.compile(r"bh(\d+)=")
+# ``<prefix><P>=K`` where K = key mod P (``bh`` buckets the bands table
+# on band_hash, ``fb`` buckets repsigs on file_id). The layout is
+# self-describing (P is encoded in the partition-column name), so
+# partitions written under different ``state_buckets`` settings coexist
+# and no sidecar metadata can go stale. Bucketing exists for ONE reason:
+# the fold used to SCAN all prior band rows (narrow, O(state)) and all
+# prior rep sketches (WIDE, O(state)) every batch; against bucketed
+# partitions the reader prunes to the buckets the batch can actually
+# join, so prior-state scan cost follows the batch.
+_BUCKET_RE = re.compile(r"(bh|fb)(\d+)=")
 # don't pay the touched-bucket job until the prunable state is big enough
 # for the saved scan to dwarf one tiny Spark job (~0.3 s)
 _PRUNE_MIN_BYTES = 64 * 1024 * 1024
-# and never collect an unbounded hash list to the driver: past this many
-# band rows the batch touches ~every bucket anyway (the touched SET stays
-# ≤ P, but the collect itself would ship band_rows values)
+# and never collect an unbounded key list to the driver: past this many
+# keys the batch touches ~every bucket anyway (the touched SET stays
+# ≤ P, but the collect itself would ship every key)
 _PRUNE_MAX_HASHES = 100_000
 
 
-def _bucket_scheme(path: str) -> int | None:
+def _bucket_scheme(path: str, prefix: str) -> int | None:
     """P if the committed partition uses the bucketed layout, else None."""
     for name in os.listdir(path):
         m = _BUCKET_RE.match(name)
-        if m:
-            return int(m.group(1))
+        if m and m.group(1) == prefix:
+            return int(m.group(2))
     return None
 
 
-def _read_band_parts(spark: SparkSession, bands_root: str, parts: list[str],
-                     touched_hashes: list[int] | None = None):
-    """Read band-state partitions of ANY layout mix as one
-    (band_id, band_hash, file_id) frame. ``touched_hashes`` (the distinct
-    band hashes of the current batch) enables partition pruning on
-    bucketed parts: only buckets that can contain a joinable row are
-    read; flat parts are always scanned in full. Returns
-    ``(frame, buckets_read, buckets_total)`` where the counts cover the
-    bucketed parts only (equal when nothing was pruned)."""
-    cols = ["band_id", "band_hash", "file_id"]
+def _drop_layout_cols(df: DataFrame) -> DataFrame:
+    return df.drop("batch_id", *[
+        c for c in df.columns if re.fullmatch(r"(bh|fb)\d+", c)
+    ])
+
+
+def _read_bucketed_parts(spark: SparkSession, root: str, parts: list[str],
+                         prefix: str,
+                         touched_keys: list[int] | None = None):
+    """Read state partitions of ANY layout mix as one frame (layout
+    columns dropped). ``touched_keys`` (the distinct join-key values of
+    the current batch — band hashes for ``bh``, file ids for ``fb``)
+    enables partition pruning on bucketed parts: only buckets that can
+    contain a joinable row are read; flat parts are always scanned in
+    full. Returns ``(frame, buckets_read, buckets_total)`` where the
+    counts cover the bucketed parts only (equal when nothing pruned)."""
     by_scheme: dict[int | None, list[str]] = {}
     for p in parts:
-        by_scheme.setdefault(_bucket_scheme(p), []).append(p)
+        by_scheme.setdefault(_bucket_scheme(p, prefix), []).append(p)
     frames = []
     buckets_read = buckets_total = 0
     for scheme, group in by_scheme.items():
         if scheme is None:
-            frames.append(spark.read.parquet(*group).select(*cols))
+            frames.append(_drop_layout_cols(spark.read.parquet(*group)))
             continue
-        df = spark.read.option("basePath", bands_root).parquet(*group)
+        df = spark.read.option("basePath", root).parquet(*group)
         present = [
             int(name.split("=", 1)[1])
             for p in group for name in os.listdir(p)
-            if _BUCKET_RE.match(name)
+            if (m := _BUCKET_RE.match(name)) and m.group(1) == prefix
         ]
         buckets_total += len(present)
-        if touched_hashes is not None:
-            touched = {h % scheme for h in touched_hashes}
-            df = df.where(F.col(f"bh{scheme}").isin(sorted(touched)))
+        if touched_keys is not None:
+            touched = {k % scheme for k in touched_keys}
+            df = df.where(F.col(f"{prefix}{scheme}").isin(sorted(touched)))
             # dirs actually read: present buckets ∩ touched, per part
             buckets_read += sum(1 for b in present if b in touched)
         else:
             buckets_read += len(present)
-        frames.append(df.select(*cols))
+        frames.append(_drop_layout_cols(df))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
     return out, buckets_read, buckets_total
 
 
-def _write_band_part(df: DataFrame, path: str, cfg: DedupConfig,
-                     batch_rows: int, flat_coalesce: int) -> None:
-    """Commit one bands partition in the layout the batch size warrants:
-    bucketed (hive ``bh<P>=`` subdirs, ≤1 file per bucket via a narrow
-    repartition on the bucket column) when the batch clears
+def _write_bucketed_part(df: DataFrame, path: str, key_col: str,
+                         prefix: str, cfg: DedupConfig, batch_rows: int,
+                         flat_coalesce: int) -> None:
+    """Commit one state partition in the layout the batch size warrants:
+    bucketed (hive ``<prefix><P>=`` subdirs, ≤1 file per bucket via a
+    narrow repartition on the bucket column) when the batch clears
     ``state_bucket_min_rows``, else the flat single-dir layout."""
     P = cfg.state_buckets
     if P > 1 and batch_rows >= cfg.state_bucket_min_rows:
-        col = f"bh{P}"
-        (df.withColumn(col, F.pmod(F.col("band_hash"), F.lit(P))
-                       .cast("int"))
+        col = f"{prefix}{P}"
+        (df.withColumn(col, F.pmod(F.col(key_col), F.lit(P)).cast("int"))
            .repartition(col)
            .write.mode("overwrite").partitionBy(col).parquet(path))
     else:
@@ -459,17 +473,23 @@ def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
 
     # 4. newborn representatives' signature rows + their narrow band rows
     # become state; the rep is pinned at birth (membership-based
-    # expansion makes the endpoint choice irrelevant downstream).
-    _timed(phases, "repsigs_write", lambda: new_sigs.drop("batch_id").join(
-        hint(born_reps), "file_id"
-    ).coalesce(_k(sig_part)).write.mode("overwrite").parquet(repsig_part))
-    new_rep_sigs = spark.read.parquet(repsig_part)
+    # expansion makes the endpoint choice irrelevant downstream). Large
+    # batches commit repsigs BUCKETED on file_id (``fb`` layout) so later
+    # folds' verify-endpoint fetch — the one WIDE prior-state read left —
+    # partition-prunes to the buckets its endpoints can live in.
+    batch_rows = _footer_rows(sig_part)
+    _timed(phases, "repsigs_write", lambda: _write_bucketed_part(
+        new_sigs.drop("batch_id").join(hint(born_reps), "file_id"),
+        repsig_part, "file_id", "fb", cfg,
+        batch_rows=batch_rows, flat_coalesce=_k(sig_part),
+    ))
+    new_rep_sigs = _drop_layout_cols(spark.read.parquet(repsig_part))
     new_bands = band_buckets(new_rep_sigs, cfg)
 
     def _write_bands():
-        _timed(phases, "bands_write", lambda: _write_band_part(
-            new_bands, bands_part, cfg,
-            batch_rows=_footer_rows(sig_part),
+        _timed(phases, "bands_write", lambda: _write_bucketed_part(
+            new_bands, bands_part, "band_hash", "bh", cfg,
+            batch_rows=batch_rows,
             flat_coalesce=_k(repsig_part),
         ))
 
@@ -569,7 +589,7 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
         # the prunable state is big enough that the saved scan dwarfs
         # the job; flat partitions always scan in full.
         prunable = sum(
-            _part_bytes(p) for p in prior_bands if _bucket_scheme(p)
+            _part_bytes(p) for p in prior_bands if _bucket_scheme(p, "bh")
         )
         touched_hashes = None
         if prunable > _PRUNE_MIN_BYTES and band_rows <= _PRUNE_MAX_HASHES:
@@ -579,8 +599,8 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
                     new_bands.select("band_hash").distinct().collect,
                 )
             ]
-        prior_df, buckets_read, buckets_total = _read_band_parts(
-            spark, os.path.join(state_dir, "bands"), prior_bands,
+        prior_df, buckets_read, buckets_total = _read_bucketed_parts(
+            spark, os.path.join(state_dir, "bands"), prior_bands, "bh",
             touched_hashes,
         )
         touched_old = prior_df.join(
@@ -657,11 +677,33 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
         # endpoint set would put the unpopulated pair plan in two
         # concurrent branches and double-compute it). Broadcast gate:
         # ≤8 bytes per universe row against the common bytes cap.
+        # Against fb-bucketed repsig partitions the read additionally
+        # partition-prunes to the buckets an endpoint id can live in —
+        # the semi-join then filters within the surviving buckets — so
+        # the last WIDE prior-state scan term follows the batch, same
+        # cost gate as the band-index pruning above.
         ep_hint = (F.broadcast if 8 * universe_rows <= _BROADCAST_MAX_BYTES
                    else (lambda df: df))
         endpoint_ids = universe.select("file_id").distinct()
-        all_repsigs = spark.read.parquet(
-            *(_prior_parts(state_dir, "repsigs", batch_id) + [repsig_part])
+        repsig_parts = (
+            _prior_parts(state_dir, "repsigs", batch_id) + [repsig_part]
+        )
+        rs_prunable = sum(
+            _part_bytes(p) for p in repsig_parts if _bucket_scheme(p, "fb")
+        )
+        touched_ids = None
+        if (rs_prunable > _PRUNE_MIN_BYTES
+                and universe_rows <= _PRUNE_MAX_HASHES):
+            touched_ids = [
+                r[0] for r in _timed(
+                    phases, "touched_endpoints", endpoint_ids.collect,
+                )
+            ]
+        all_repsigs, rs_buckets_read, rs_buckets_total = (
+            _read_bucketed_parts(
+                spark, os.path.join(state_dir, "repsigs"), repsig_parts,
+                "fb", touched_ids,
+            )
         )
         verify_side = all_repsigs.join(ep_hint(endpoint_ids), "file_id")
         rep_edges = verify_pairs(
@@ -697,6 +739,8 @@ def _fold_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
             # when pruning was gated off or the layout is flat)
             "band_state_buckets_read": buckets_read,
             "band_state_buckets_total": buckets_total,
+            "repsig_state_buckets_read": rs_buckets_read,
+            "repsig_state_buckets_total": rs_buckets_total,
             "phase_ms": phases,
         }
         if refold:
@@ -803,13 +847,17 @@ def compact_state(spark: SparkSession, state_dir: str,
         merged_ids = sorted(set(merged_ids) | set(ids))
         dirs = [os.path.join(tdir, f"batch_id={b}") for b in ids]
         tmp = os.path.join(tdir, ".compact_tmp")
-        if table == "bands":
-            # layout-aware read (flat and bh<P>= bucketed partitions may
+        if table in ("bands", "repsigs"):
+            # layout-aware read (flat and bucketed partitions may
             # coexist); the merged base is where bucketing pays most, so
             # it is written bucketed whenever the merged volume warrants
-            df, _, _ = _read_band_parts(spark, tdir, dirs)
-            _write_band_part(
-                df, tmp, cfg,
+            key_col, prefix = (
+                ("band_hash", "bh") if table == "bands"
+                else ("file_id", "fb")
+            )
+            df, _, _ = _read_bucketed_parts(spark, tdir, dirs, prefix)
+            _write_bucketed_part(
+                df, tmp, key_col, prefix, cfg,
                 batch_rows=sum(_footer_rows(d) for d in dirs),
                 flat_coalesce=max(
                     1, sum(_part_bytes(d) for d in dirs) // (64 << 20)

@@ -289,11 +289,13 @@ def test_broadcast_gate_is_bytes_based(spark, tmp_path_factory, monkeypatch):
 
 def test_bucketed_band_state_and_pruned_fold(spark, tmp_path_factory,
                                              monkeypatch):
-    """100 TB scale path: bands state committed in the self-describing
-    bucketed layout (bh<P>= hive subdirs) lets a small batch's fold
-    partition-prune the prior band index to its touched buckets — scan
-    cost follows the batch, not the state — with results identical to
-    the flat layout and the one-shot batch run."""
+    """100 TB scale path: bands + repsigs state committed in the
+    self-describing bucketed layouts (bh<P>= / fb<P>= hive subdirs) lets
+    a small batch's fold partition-prune BOTH the prior band index (to
+    its touched buckets) and the prior rep-sketch table (to its verify
+    endpoints' buckets) — scan cost follows the batch, not the state —
+    with results identical to the flat layout and the one-shot batch
+    run."""
     from dedup_spark import streaming as st
 
     cfg = DedupConfig(state_buckets=64, state_bucket_min_rows=0)
@@ -301,12 +303,17 @@ def test_bucketed_band_state_and_pruned_fold(spark, tmp_path_factory,
     state = str(tmp_path_factory.mktemp("state_bucket"))
     incremental_update(corpus.where("file_id < 139"), state, cfg)
     b0 = os.path.join(state, "bands", "batch_id=0")
-    assert st._bucket_scheme(b0) == 64
+    assert st._bucket_scheme(b0, "bh") == 64
     assert any(n.startswith("bh64=") for n in os.listdir(b0))
+    r0 = os.path.join(state, "repsigs", "batch_id=0")
+    assert st._bucket_scheme(r0, "fb") == 64
+    assert st._bucket_scheme(r0, "bh") is None  # prefixes don't cross-match
+    assert any(n.startswith("fb64=") for n in os.listdir(r0))
 
     # a 1-file batch touches ≤ cfg.bands buckets of the 64 — with the
     # prune gate forced on, the fold must read strictly fewer bucket
-    # dirs than exist, and still produce batch-identical results
+    # dirs than exist (for the band index AND the wide rep-sketch
+    # endpoint fetch), and still produce batch-identical results
     monkeypatch.setattr(st, "_PRUNE_MIN_BYTES", 0)
     incremental_update(corpus.where("file_id = 139"), state, cfg)
     lines = [json.loads(l) for l in open(os.path.join(state, "metrics.jsonl"))]
@@ -314,6 +321,9 @@ def test_bucketed_band_state_and_pruned_fold(spark, tmp_path_factory,
     assert "touched_buckets" in m1["phase_ms"]
     assert 0 < m1["band_state_buckets_read"] <= CFG.bands
     assert m1["band_state_buckets_read"] < m1["band_state_buckets_total"]
+    assert "touched_endpoints" in m1["phase_ms"]
+    assert 0 < m1["repsig_state_buckets_read"]
+    assert m1["repsig_state_buckets_read"] < m1["repsig_state_buckets_total"]
     part = _pairs(run_pipeline(
         corpus.where("file_id < 140"), CFG)["edges"].where("verified"))
     assert _pairs(expanded_edges(spark, state).where("verified")) == part
@@ -323,7 +333,9 @@ def test_bucketed_band_state_and_pruned_fold(spark, tmp_path_factory,
     out = compact_state(spark, state, cfg)
     assert out["merged_batches"] == 2
     base = os.path.join(state, "bands", "batch_id=1")
-    assert st._bucket_scheme(base) == 64
+    assert st._bucket_scheme(base, "bh") == 64
+    assert st._bucket_scheme(
+        os.path.join(state, "repsigs", "batch_id=1"), "fb") == 64
     assert _pairs(expanded_edges(spark, state).where("verified")) == part
 
     # a further small fold against the bucketed base (mixed-reader path)
