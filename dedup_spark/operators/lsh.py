@@ -98,8 +98,21 @@ _PAIRS_ACROSS_LISTS = (
 )
 
 
+# Below this many band rows the mega-bucket PRE-FILTER is cost-gated
+# off: its dedicated aggregation job + broadcast future serialize ~1 s of
+# driver latency per run, while the damage it prevents — one window task
+# buffering a whole boilerplate bucket in a spillable array before the
+# cap drops it — is bounded by TOTAL band rows, i.e. ≤ ~80 MB of 16-byte
+# rows at this threshold (linear scan + spill, not a quadratic blow-up).
+# Callers that KNOW the row count (the pipeline measures it when
+# materializing the signature cache) pass it; unknown defaults to the
+# pre-filter staying on, which is the correct 100 TB posture.
+PREFILTER_MIN_BAND_ROWS = 5_000_000
+
+
 def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
-                    return_metrics: bool = False):
+                    return_metrics: bool = False,
+                    n_rows: int | None = None):
     """Distinct (src, dst) candidate pairs from banded MinHash.
 
     One unified salted path: every bucket is split into
@@ -112,10 +125,18 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig,
     explode → distinct. Buckets beyond ``max_bucket * salt`` are excluded
     and surfaced in the metrics frame — explicit, logged skew handling
     instead of a silent quadratic blow-up.
+
+    ``n_rows``: measured signature-row count, if the caller has one (the
+    pipeline's cache-materialization barrier returns it for free). Small
+    measured inputs drop the mega-bucket pre-filter job — the cap itself
+    still applies inside the window pass, so the pair OUTPUT is identical
+    either way; only the plan shape changes.
     """
+    prefilter = (n_rows is None
+                 or n_rows * cfg.bands > PREFILTER_MIN_BAND_ROWS)
     return salted_pairs(
         band_buckets(signatures, cfg), cfg.max_bucket, cfg.salt,
-        return_metrics=return_metrics,
+        return_metrics=return_metrics, prefilter=prefilter,
     )
 
 
@@ -123,7 +144,8 @@ def salted_pairs(buckets: DataFrame, max_b: int, salt: int | None,
                  key_cols: tuple[str, ...] = ("band_id", "band_hash"),
                  id_col: str = "file_id",
                  return_metrics: bool = False,
-                 dedupe: bool = True):
+                 dedupe: bool = True,
+                 prefilter: bool = True):
     """The skew-laddered pair generator over arbitrary bucket frames.
 
     ``buckets`` holds one row per (bucket key, member id); key columns and
@@ -146,26 +168,40 @@ def salted_pairs(buckets: DataFrame, max_b: int, salt: int | None,
     scheme already emits each pair exactly once.
     """
     keys = list(key_cols)
+    cap = None
     if salt is None:
         cold, hot = buckets, None
     else:
         salt_cap = max_b * max(1, salt)
-        # mega-bucket pre-filter (ADVICE r2): the window pass buffers each
-        # bucket in ONE task's spillable array, so a power-law boilerplate
-        # band would serialize a whole task on rows that are dropped
-        # anyway. A groupBy count first (map-side partial agg — shuffle
-        # volume is distinct keys, not rows) finds the >salt_cap keys;
-        # they are broadcast-anti-joined out BEFORE the window ever
-        # buffers them. Hot keys are bounded by total_rows/salt_cap (each
-        # needs >salt_cap rows), so the broadcast side stays tiny by
-        # construction.
-        hot = (
-            buckets.groupBy(*keys)
-            .agg(F.count("*").alias("bucket_size"))
-            .where(F.col("bucket_size") > salt_cap)
-        )
-        cold = buckets.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
-    groups = _block_tasks(cold, max_b, keys, id_col)
+        if prefilter:
+            # mega-bucket pre-filter (ADVICE r2): the window pass buffers
+            # each bucket in ONE task's spillable array, so a power-law
+            # boilerplate band would serialize a whole task on rows that
+            # are dropped anyway. A groupBy count first (map-side partial
+            # agg — shuffle volume is distinct keys, not rows) finds the
+            # >salt_cap keys; they are broadcast-anti-joined out BEFORE
+            # the window ever buffers them. Hot keys are bounded by
+            # total_rows/salt_cap (each needs >salt_cap rows), so the
+            # broadcast side stays tiny by construction.
+            hot = (
+                buckets.groupBy(*keys)
+                .agg(F.count("*").alias("bucket_size"))
+                .where(F.col("bucket_size") > salt_cap)
+            )
+            cold = buckets.join(
+                F.broadcast(hot.select(*keys)), keys, "left_anti"
+            )
+        else:
+            # cost-gated OFF for measured-small inputs (candidate_pairs):
+            # the cap moves inside the window pass — same buckets dropped,
+            # identical pair output — and the tail loses the pre-filter's
+            # dedicated job + serialized broadcast future. Worst case a
+            # task buffers every band row of the (small) input once,
+            # linearly, before the cap filter drops the bucket.
+            hot = None
+            cold = buckets
+            cap = salt_cap
+    groups = _block_tasks(cold, max_b, keys, id_col, cap=cap)
     pairs = groups.select(
         F.explode(
             F.when(F.col("bi") == F.col("bj"), F.expr(_PAIRS_IN_LIST))
@@ -179,6 +215,14 @@ def salted_pairs(buckets: DataFrame, max_b: int, salt: int | None,
     # the dropped-bucket metrics ARE the pre-filter's hot-key table — no
     # extra pass over the bucket frame (uncapped mode drops nothing by
     # definition and reports literal zeros)
+    if salt is not None and hot is None:
+        # capped but pre-filter gated off: same accounting, rebuilt lazily
+        # from the bucket frame (costs a job only if actually collected)
+        hot = (
+            buckets.groupBy(*keys)
+            .agg(F.count("*").alias("bucket_size"))
+            .where(F.col("bucket_size") > cap)
+        )
     if hot is None:
         spark = buckets.sparkSession
         dropped = spark.range(1).select(
@@ -197,13 +241,17 @@ def salted_pairs(buckets: DataFrame, max_b: int, salt: int | None,
 
 
 def _block_tasks(cold: DataFrame, max_b: int, keys: list[str],
-                 id_col: str) -> DataFrame:
+                 id_col: str, cap: int | None = None) -> DataFrame:
     """Bucket members → one row per block-pair task with its (bounded)
     member lists. Split out of ``salted_pairs`` so tests can assert the
-    per-task list-size bound directly."""
+    per-task list-size bound directly. ``cap``: drop buckets larger than
+    this AFTER the window count (the no-pre-filter plan shape)."""
     w = Window.partitionBy(*keys)
+    size_ok = F.col("bucket_size") >= 2
+    if cap is not None:
+        size_ok = size_ok & (F.col("bucket_size") <= cap)
     counted = cold.withColumn("bucket_size", F.count("*").over(w)).where(
-        F.col("bucket_size") >= 2
+        size_ok
     )
     # block id per member + one row per block-pair task it belongs to; a
     # member in block b joins tasks (min(b,t), max(b,t)) for every t. The

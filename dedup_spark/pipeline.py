@@ -249,6 +249,7 @@ def run_pipeline(
         groups = stage("groups", lambda: sketch_groups(signatures))
         rep_sigs = signatures.join(representative_ids(groups), "file_id")
         verify_side = rep_sigs
+        n_sigs = None  # not measured on this path: pre-filter stays on
     else:
         # fused plan: ONE wide exchange (window over the full signature
         # rows) yields signatures, groups, and rep_sigs as projections of
@@ -269,7 +270,7 @@ def run_pipeline(
         # (A separate narrow "core" cache without the shingle arrays was
         # measured too: the extra cache-build pass cost more than the
         # narrower tail scans saved.)
-        sig_groups.count()
+        n_sigs = sig_groups.count()
         signatures = sig_groups.drop(*_GROUP_COLS)
         groups = sig_groups.select("file_id", *_GROUP_COLS)
         rep_sigs = sig_groups.where(
@@ -277,8 +278,13 @@ def run_pipeline(
         ).drop(*_GROUP_COLS)
         verify_side = rep_sigs
     shingles = verify_side.select("file_id", "shingles")
+    # the cache-materialization count doubles as the measured row count
+    # that cost-gates the mega-bucket pre-filter (small measured inputs
+    # drop its dedicated job + broadcast future; output identical)
     pairs = stage(
-        "candidates", lambda: candidate_pairs(rep_sigs, cfg), persist=False
+        "candidates",
+        lambda: candidate_pairs(rep_sigs, cfg, n_rows=n_sigs),
+        persist=False,
     )
     # stage name is "edges_rep", NOT round-1's "edges": the frame holds
     # REPRESENTATIVE-level edges now, and reusing the old name would let

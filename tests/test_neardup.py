@@ -155,6 +155,35 @@ def test_salted_pairs_generic_keys(spark):
     assert d["dropped_buckets"] == 1 and d["dropped_rows"] == 7
 
 
+def test_salted_pairs_prefilter_gate_equivalent(spark):
+    """The mega-bucket pre-filter is a PLAN choice, not a semantics knob
+    (round 5: cost-gated off for measured-small inputs to drop its
+    dedicated job + broadcast future from the tail): with it on or off,
+    the pair set AND the dropped-bucket accounting must be identical —
+    the cap just moves inside the window pass."""
+    from dedup_spark.operators.lsh import salted_pairs
+
+    rows = [("b0", i) for i in range(7)] + \
+           [("b1", i) for i in range(5, 11)] + [("b2", 99)]
+    buckets = spark.createDataFrame(rows, "bkt string, doc_id long")
+    # max_b=3, salt=2 → salt_cap=6: b0 (7 members) dropped, b1 salted
+    on_pairs, on_drop = salted_pairs(
+        buckets, 3, 2, key_cols=("bkt",), id_col="doc_id",
+        return_metrics=True, prefilter=True,
+    )
+    off_pairs, off_drop = salted_pairs(
+        buckets, 3, 2, key_cols=("bkt",), id_col="doc_id",
+        return_metrics=True, prefilter=False,
+    )
+    assert {(r["src"], r["dst"]) for r in on_pairs.collect()} == \
+           {(r["src"], r["dst"]) for r in off_pairs.collect()}
+    assert on_drop.collect() == off_drop.collect()
+    assert off_drop.collect()[0]["dropped_buckets"] == 1
+    # the no-pre-filter plan must not contain the broadcast anti-join
+    assert "BroadcastExchange" not in off_pairs._jdf.queryExecution() \
+        .executedPlan().toString()
+
+
 def test_salted_pairs_uncapped_ladder(spark):
     """salt=None (VERDICT r4 #1): the UNCAPPED ladder must emit the
     COMPLETE pair set of any bucket — nothing dropped at any size — while
