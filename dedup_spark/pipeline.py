@@ -18,12 +18,34 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .config import DedupConfig
+
+# Corpora whose driver-measured parquet footprint is at or under this are
+# "tail-latency" runs: the pipeline overlaps the cache-materialization
+# count with tail-plan construction and pins the pair-side broadcast +
+# drops the mega-bucket pre-filter job (all output-identical plan-shape
+# choices). Compressed bytes, so ~2 GB ≈ a few tens of GB of text — well
+# inside what a bounded candidate set can broadcast; everything larger
+# keeps the strict stats-driven 100 TB plan shape.
+SMALL_TAIL_MAX_BYTES = 2 << 30
+
+
+def _dir_parquet_bytes(path: str) -> int:
+    """Committed parquet bytes under a directory — driver-side metadata
+    only, no Spark job."""
+    total = 0
+    for dirpath, _, names in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(dirpath, n))
+            for n in names if n.endswith(".parquet")
+        )
+    return total
 
 # Bump whenever a checkpointed stage's SEMANTICS change (round 2: stages
 # moved from member-level to representative-level frames). Folded into the
@@ -250,6 +272,8 @@ def run_pipeline(
         rep_sigs = signatures.join(representative_ids(groups), "file_id")
         verify_side = rep_sigs
         n_sigs = None  # not measured on this path: pre-filter stays on
+        small_tail = False
+        count_thread = None
     else:
         # fused plan: ONE wide exchange (window over the full signature
         # rows) yields signatures, groups, and rep_sigs as projections of
@@ -270,7 +294,30 @@ def run_pipeline(
         # (A separate narrow "core" cache without the shingle arrays was
         # measured too: the extra cache-build pass cost more than the
         # narrower tail scans saved.)
-        n_sigs = sig_groups.count()
+        #
+        # Measured-SMALL corpora (driver-side parquet footprint — known
+        # before any job) additionally OVERLAP the count with the tail's
+        # DataFrame construction: ~1-1.4 s of py4j round-trips + per-frame
+        # analysis otherwise sit between the bulk job and the first tail
+        # job (event-log gap), at every parallelism level. The overlap is
+        # safe only because the one stats-sensitive physical choice in
+        # the tail — the pair side of the verify joins — is PINNED by an
+        # explicit broadcast hint on this path, so the edges_rep plan
+        # frozen at persist-registration (against the not-yet-populated
+        # cache) is identical to the plan the post-count statistics would
+        # pick. Large corpora keep the strict count-first sequencing and
+        # fully stats-driven planning.
+        small_tail = (
+            corpus_path is not None
+            and _dir_parquet_bytes(corpus_path) <= SMALL_TAIL_MAX_BYTES
+        )
+        count_thread = None
+        if small_tail:
+            count_thread = threading.Thread(target=sig_groups.count)
+            count_thread.start()
+            n_sigs = None  # unknown during overlapped construction
+        else:
+            n_sigs = sig_groups.count()
         signatures = sig_groups.drop(*_GROUP_COLS)
         groups = sig_groups.select("file_id", *_GROUP_COLS)
         rep_sigs = sig_groups.where(
@@ -280,10 +327,14 @@ def run_pipeline(
     shingles = verify_side.select("file_id", "shingles")
     # the cache-materialization count doubles as the measured row count
     # that cost-gates the mega-bucket pre-filter (small measured inputs
-    # drop its dedicated job + broadcast future; output identical)
+    # drop its dedicated job + broadcast future; output identical); on
+    # the overlapped path the same gate decides from corpus bytes
     pairs = stage(
         "candidates",
-        lambda: candidate_pairs(rep_sigs, cfg, n_rows=n_sigs),
+        lambda: candidate_pairs(
+            rep_sigs, cfg, n_rows=n_sigs,
+            prefilter=False if small_tail else None,
+        ),
         persist=False,
     )
     # stage name is "edges_rep", NOT round-1's "edges": the frame holds
@@ -291,7 +342,9 @@ def run_pipeline(
     # resume=True silently load a pre-contraction member-level checkpoint
     # whose non-representative endpoints vanish in the expansion join.
     edges_rep = stage(
-        "edges_rep", lambda: verify_pairs(pairs, verify_side, shingles, cfg)
+        "edges_rep",
+        lambda: verify_pairs(pairs, verify_side, shingles, cfg,
+                             broadcast_pairs=small_tail),
     )
 
     if cfg.min_lcs > 0:
@@ -329,6 +382,14 @@ def run_pipeline(
     # (least/greatest distinct, cross-group) are canonical and disjoint by
     # construction, so CC may skip its canonicalization exchange; the
     # LCS-gated member-level set is not proven so and keeps the default.
+    if count_thread is not None:
+        # overlapped path: the cache MUST be fully populated before the
+        # first tail action runs (the clusters stage below) — an
+        # unpopulated multi-consumer cache double-computes the kernel
+        # under concurrent broadcast futures. (If construction above
+        # raises first, the thread just finishes its count on its own —
+        # no state to clean up.)
+        count_thread.join()
     clusters = stage(
         "clusters",
         lambda: cluster_assignments(

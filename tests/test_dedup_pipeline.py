@@ -289,7 +289,16 @@ def test_direct_parquet_feed_equivalence(spark, corpus200, tmp_path):
 
     want = {(r["file_id"], r["cluster_id"])
             for r in run_pipeline(pq_corpus, cfg)["clusters"].collect()}
+    res = run_pipeline(pq_corpus, cfg, corpus_path=path)
     got = {(r["file_id"], r["cluster_id"])
-           for r in run_pipeline(pq_corpus, cfg,
-                                 corpus_path=path)["clusters"].collect()}
+           for r in res["clusters"].collect()}
     assert got == want
+    # corpus_path also marks the corpus measured-small here, so this run
+    # took the OVERLAPPED tail path (count concurrent with tail-plan
+    # construction): the pair side of the verify joins must be pinned as
+    # the broadcast build side — the invariant that makes plan freezing
+    # against the unpopulated cache equal to stats-driven planning
+    plan = res["edges_rep"]._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # and the mega-bucket pre-filter job is gated off (no anti-join)
+    assert "LeftAnti" not in plan
