@@ -307,8 +307,14 @@ def run_pipeline(
         # cache) is identical to the plan the post-count statistics would
         # pick. Large corpora keep the strict count-first sequencing and
         # fully stats-driven planning.
+        # min_lcs > 0 keeps the strict path too: the LCS stage joins the
+        # corpus itself, a stats-sensitive choice the overlap would
+        # freeze against unpopulated estimates (the guarantee here is
+        # "frozen plan ≡ stats-driven plan", so every stats-sensitive
+        # join must be pinned or absent)
         small_tail = (
             corpus_path is not None
+            and cfg.min_lcs <= 0
             and _dir_parquet_bytes(corpus_path) <= SMALL_TAIL_MAX_BYTES
         )
         count_thread = None
