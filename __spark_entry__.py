@@ -272,6 +272,33 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence dedup at sub-document (20-token passage)
+    granularity over the dup-injected table — J1 semantics
+    (writer.go:595-601) one level below the document: injected duplicate
+    docs score dup_frac = 1.0, and natural short-tail segment collisions
+    exercise the partial-dup path. Skew-safe groupBy-min first-occurrence
+    (no per-key ordered window; see passage_dedup_stats docstring)."""
+    from dedup_spark.operators.textstats import passage_dedup_stats
+
+    return passage_dedup_stats(_docs_dup(spark, sf_dir)).withColumn(
+        "n_new_segs", F.col("n_new_segs").cast("long")
+    )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality signals (duplicate
+    token / duplicate word-trigram fractions, Rae et al. 2021 §A1.1) —
+    the repetition leg of a training-data quality filter. Pure JVM array
+    expressions, zero shuffle."""
+    from dedup_spark.operators.textstats import with_repetition
+
+    return with_repetition(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_token_frac", "dup_trigram_frac",
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash / SimHash / n-gram Jaccard with exact SQL twins
 # ---------------------------------------------------------------------------
@@ -1179,6 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
+        "passage_dedup": q_passage_dedup,
+        "doc_repetition": q_doc_repetition,
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_candidates": q_minhash_band_candidates,
         "simhash_docs": q_simhash_docs,
@@ -1374,6 +1403,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    array_to_string(list_sort(list(h))[1:8], ',') AS fp
             FROM h GROUP BY doc_id
+        """,
+        "passage_dedup": f"""
+            WITH {_DOCS2_SQL},
+            toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM docs2 WHERE length(trim(text)) > 0
+            ), segs AS (
+                SELECT doc_id, CAST(i AS INT) AS seg_id,
+                       sha256(array_to_string(
+                           list_slice(t, i * 20 + 1, i * 20 + 20), ' ')) AS h
+                FROM toks,
+                     UNNEST(range(CAST(ceil(len(t) / 20.0) AS BIGINT))) AS u(i)
+            ), firsts AS (
+                SELECT h, min(ROW(doc_id, seg_id)) AS first_key
+                FROM segs GROUP BY h
+            )
+            SELECT s.doc_id,
+                   count(*) AS n_segs,
+                   CAST(sum(CASE WHEN ROW(s.doc_id, s.seg_id) = f.first_key
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_new_segs,
+                   round(1.0 - sum(CASE WHEN ROW(s.doc_id, s.seg_id)
+                                             = f.first_key
+                                   THEN 1 ELSE 0 END) / count(*), 6)
+                       AS dup_frac
+            FROM segs s JOIN firsts f USING (h)
+            GROUP BY s.doc_id
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents WHERE length(trim(text)) > 0
+            ), feat AS (
+                SELECT doc_id, lang,
+                       len(t) AS n_tokens,
+                       len(list_distinct(t)) AS n_distinct_tokens,
+                       CASE WHEN len(t) >= 3 THEN
+                           list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(
+                                        list_slice(t, i, i + 2), ' '))
+                       ELSE [] END AS tri
+                FROM toks
+            )
+            SELECT doc_id, lang, n_tokens,
+                   round(1.0 - n_distinct_tokens / n_tokens, 6)
+                       AS dup_token_frac,
+                   CASE WHEN len(tri) > 0
+                        THEN round(1.0 - len(list_distinct(tri)) / len(tri), 6)
+                        ELSE 0.0 END AS dup_trigram_frac
+            FROM feat
         """,
         "minhash_signatures": _minhash_sql(),
         "minhash_band_candidates": _minhash_band_sql(),

@@ -114,3 +114,112 @@ def doc_fingerprint(df: DataFrame, text: str = "text", k: int = 8,
         F.col(id_col),
         F.slice(F.array_sort(hashes), 1, k).alias("fingerprint"),
     ).where(F.length(F.trim(F.col(text))) > 0)
+
+def passage_segments(df: DataFrame, text: str = "text",
+                     id_col: str = "doc_id",
+                     seg_tokens: int = 20) -> DataFrame:
+    """Fixed-size token segments per document: (id, seg_id, seg_hash).
+
+    Sub-document granularity for passage-level dedup — the same fixed-size
+    split idea as the reference's ModeFixed splitter (writer.go NewWriter
+    fixed mode), lifted from bytes to whitespace tokens so it composes
+    with the text operators. Pure JVM expressions: split → per-doc segment
+    index explode → slice/concat → sha256. No Python UDFs, no shuffle
+    (the explode is row-local); output is ~n_tokens/seg_tokens rows/doc.
+    """
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    exploded = (
+        df.where(F.length(F.trim(F.col(text))) > 0)
+        .select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_id"),
+        )
+    )
+    seg_text = F.concat_ws(
+        " ",
+        F.slice("_toks", F.col("seg_id") * seg_tokens + 1, seg_tokens),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("seg_id"),
+        F.sha2(seg_text, 256).alias("seg_hash"),
+    )
+
+
+def passage_dedup_stats(df: DataFrame, text: str = "text",
+                        id_col: str = "doc_id",
+                        seg_tokens: int = 20) -> DataFrame:
+    """First-occurrence dedup at passage granularity (reference J1
+    semantics — writer.go:595-601 once-new-always-old — applied to
+    sub-document segments): per document, how many of its segments are
+    globally new vs already seen in an earlier (id, seg_id) position.
+
+    Skew-safe by construction: the first occurrence per hash comes from
+    ``groupBy(seg_hash).agg(min(struct(id, seg_id)))`` — map-side partial
+    aggregation collapses a boilerplate passage duplicated 10^6 times to
+    one row per map task — NOT from a per-key ordered window, which would
+    buffer+sort all 10^6 instances of the hot hash in a single task. The
+    join back on seg_hash streams; AQE skew-split handles residual probe
+    skew at cluster scale.
+    """
+    segs = passage_segments(df, text=text, id_col=id_col,
+                            seg_tokens=seg_tokens)
+    key = F.struct(F.col(id_col), F.col("seg_id"))
+    firsts = segs.groupBy("seg_hash").agg(F.min(key).alias("first_key"))
+    is_new = (key == F.col("first_key")).cast("int")
+    return (
+        segs.join(firsts, "seg_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(is_new).alias("n_new_segs"),
+            F.round(1.0 - F.sum(is_new) / F.count("*"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def with_repetition(df: DataFrame, text: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText family of
+    within-document repetition filters, Rae et al. 2021 §A1.1): fraction
+    of duplicate tokens and duplicate word-trigrams. High values flag
+    boilerplate/spam for a training-data pipeline. Pure JVM array
+    expressions — transform/slice/array_distinct — no shuffle at all.
+
+    The token array is materialized in its OWN projection before the
+    trigram lambda touches it: a lambda that captures the raw
+    ``split(text)`` expression gets it inlined into the transform body
+    (CollapseProject), re-splitting the whole document once per trigram —
+    O(n_tokens²) splits per doc, measured 6x slower at bench scale. A
+    multiply-referenced non-trivial alias is exempt from project
+    collapsing, so the split runs once per row.
+    """
+    base = df.where(F.length(F.trim(F.col(text))) > 0).withColumn(
+        "_toks", F.split(F.trim(F.col(text)), r"\s+")
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_tri = F.size(tri)
+    return (
+        base.withColumn("n_tokens", n)
+        .withColumn(
+            "dup_token_frac",
+            F.round(1.0 - F.size(F.array_distinct(toks)) / n, 6),
+        )
+        .withColumn(
+            "dup_trigram_frac",
+            F.when(
+                n_tri > 0,
+                F.round(1.0 - F.size(F.array_distinct(tri)) / n_tri, 6),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_toks")
+    )

@@ -228,3 +228,61 @@ def test_config_band_invariant_raises():
 
     with pytest.raises(ValueError, match="num_perm"):
         DedupConfig(bands=64, band_rows=2, num_perm=64).rows_per_band
+
+
+def test_passage_segments_and_dedup(spark):
+    from dedup_spark.operators.textstats import (
+        passage_dedup_stats,
+        passage_segments,
+    )
+
+    # 3-token segments: doc 0 and doc 1 share their first segment exactly;
+    # doc 2 is a full duplicate of doc 0; doc 3 is blank (excluded).
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f g"),       # segs: "a b c" "d e f" "g"
+            (1, "a b c x y z"),         # segs: "a b c" "x y z"
+            (2, "a b c d e f g"),       # exact dup of doc 0
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    segs = passage_segments(df, seg_tokens=3).collect()
+    assert {(r["doc_id"], r["seg_id"]) for r in segs} == {
+        (0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (2, 0), (2, 1), (2, 2),
+    }
+    by_doc = {
+        r["doc_id"]: r
+        for r in passage_dedup_stats(df, seg_tokens=3).collect()
+    }
+    assert set(by_doc) == {0, 1, 2}
+    assert by_doc[0]["n_segs"] == 3 and by_doc[0]["n_new_segs"] == 3
+    # doc 1: first segment already seen in doc 0
+    assert by_doc[1]["n_segs"] == 2 and by_doc[1]["n_new_segs"] == 1
+    assert by_doc[1]["dup_frac"] == 0.5
+    # doc 2: every segment first occurred in doc 0
+    assert by_doc[2]["n_new_segs"] == 0 and by_doc[2]["dup_frac"] == 1.0
+
+
+def test_with_repetition(spark):
+    from dedup_spark.operators.textstats import with_repetition
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),   # 3 distinct? no: tokens {a,b} of 6
+            (1, "a b c d"),       # all distinct, trigrams distinct
+            (2, "x y"),           # too short for trigrams
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in with_repetition(df).collect()}
+    assert set(got) == {0, 1, 2}  # blank doc excluded
+    # doc 0: 6 tokens, 2 distinct -> 1 - 2/6; trigrams: "a b a" "b a b"
+    # "a b a" "b a b" -> 4 with 2 distinct -> 0.5
+    assert got[0]["dup_token_frac"] == round(1 - 2 / 6, 6)
+    assert got[0]["dup_trigram_frac"] == 0.5
+    assert got[1]["dup_token_frac"] == 0.0
+    assert got[1]["dup_trigram_frac"] == 0.0
+    # doc 2: no trigrams -> 0.0 by definition
+    assert got[2]["dup_trigram_frac"] == 0.0
