@@ -160,23 +160,30 @@ def passage_dedup_stats(df: DataFrame, text: str = "text",
     ``groupBy(seg_hash).agg(min(struct(id, seg_id)))`` — map-side partial
     aggregation collapses a boilerplate passage duplicated 10^6 times to
     one row per map task — NOT from a per-key ordered window, which would
-    buffer+sort all 10^6 instances of the hot hash in a single task. The
-    join back on seg_hash streams; AQE skew-split handles residual probe
-    skew at cluster scale.
+    buffer+sort all 10^6 instances of the hot hash in a single task.
+
+    Join-free: each hash's unique first instance belongs to exactly one
+    document, so ``n_new_segs`` is a COUNT over the firsts keyed by the
+    first-occurrence document — no join of the full segment set back onto
+    the firsts (which would re-shuffle every segment row by hash a second
+    time). Two narrow aggregations + a broadcast-sized-per-doc merge
+    instead of a segment-cardinality wide join.
     """
     segs = passage_segments(df, text=text, id_col=id_col,
                             seg_tokens=seg_tokens)
     key = F.struct(F.col(id_col), F.col("seg_id"))
-    firsts = segs.groupBy("seg_hash").agg(F.min(key).alias("first_key"))
-    is_new = (key == F.col("first_key")).cast("int")
-    return (
-        segs.join(firsts, "seg_hash")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_segs"),
-            F.sum(is_new).alias("n_new_segs"),
-            F.round(1.0 - F.sum(is_new) / F.count("*"), 6).alias("dup_frac"),
-        )
+    per_doc = segs.groupBy(id_col).agg(F.count("*").alias("n_segs"))
+    new_per_doc = (
+        segs.groupBy("seg_hash").agg(F.min(key).alias("first_key"))
+        .groupBy(F.col(f"first_key.{id_col}").alias(id_col))
+        .agg(F.count("*").alias("n_new_segs"))
+    )
+    n_new = F.coalesce(F.col("n_new_segs"), F.lit(0))
+    return per_doc.join(new_per_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_segs",
+        n_new.alias("n_new_segs"),
+        F.round(1.0 - n_new / F.col("n_segs"), 6).alias("dup_frac"),
     )
 
 
