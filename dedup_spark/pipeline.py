@@ -37,8 +37,12 @@ SMALL_TAIL_MAX_BYTES = 2 << 30
 
 
 def _dir_parquet_bytes(path: str) -> int:
-    """Committed parquet bytes under a directory — driver-side metadata
-    only, no Spark job."""
+    """Committed parquet bytes under a LOCAL directory — driver-side
+    metadata only, no Spark job. Returns 0 when the path is not locally
+    walkable (object-store URI, missing dir): ``os.walk`` yields nothing
+    there, and callers MUST treat 0 as unmeasured-therefore-LARGE — a
+    100 TB ``s3://`` corpus must never classify as a small-tail run just
+    because the driver can't stat it."""
     total = 0
     for dirpath, _, names in os.walk(path):
         total += sum(
@@ -46,6 +50,18 @@ def _dir_parquet_bytes(path: str) -> int:
             for n in names if n.endswith(".parquet")
         )
     return total
+
+
+def _small_tail_gate(corpus_path: str | None, cfg: DedupConfig) -> bool:
+    """True only for a POSITIVELY-measured small local corpus with the
+    LCS gate off. No path, an unwalkable path (object-store URI), or an
+    empty measurement all mean unmeasured → strict stats-driven planning;
+    min_lcs > 0 keeps the strict path because the LCS stage joins the
+    corpus itself, a stats-sensitive choice the small-tail overlap would
+    otherwise freeze against unpopulated estimates."""
+    if corpus_path is None or cfg.min_lcs > 0:
+        return False
+    return 0 < _dir_parquet_bytes(corpus_path) <= SMALL_TAIL_MAX_BYTES
 
 # Bump whenever a checkpointed stage's SEMANTICS change (round 2: stages
 # moved from member-level to representative-level frames). Folded into the
@@ -305,18 +321,10 @@ def run_pipeline(
         # explicit broadcast hint on this path, so the edges_rep plan
         # frozen at persist-registration (against the not-yet-populated
         # cache) is identical to the plan the post-count statistics would
-        # pick. Large corpora keep the strict count-first sequencing and
-        # fully stats-driven planning.
-        # min_lcs > 0 keeps the strict path too: the LCS stage joins the
-        # corpus itself, a stats-sensitive choice the overlap would
-        # freeze against unpopulated estimates (the guarantee here is
-        # "frozen plan ≡ stats-driven plan", so every stats-sensitive
-        # join must be pinned or absent)
-        small_tail = (
-            corpus_path is not None
-            and cfg.min_lcs <= 0
-            and _dir_parquet_bytes(corpus_path) <= SMALL_TAIL_MAX_BYTES
-        )
+        # pick. Large or UNMEASURED corpora keep the strict count-first
+        # sequencing and fully stats-driven planning (see
+        # _small_tail_gate for the full opt-in conditions).
+        small_tail = _small_tail_gate(corpus_path, cfg)
         count_thread = None
         if small_tail:
             count_thread = threading.Thread(target=sig_groups.count)

@@ -302,3 +302,30 @@ def test_direct_parquet_feed_equivalence(spark, corpus200, tmp_path):
     assert "BroadcastHashJoin" in plan
     # and the mega-bucket pre-filter job is gated off (no anti-join)
     assert "LeftAnti" not in plan
+
+
+def test_small_tail_gate_requires_positive_local_measurement(tmp_path):
+    """The small-tail plan shape (pinned pair broadcast, pre-filter off)
+    may only be chosen from a POSITIVE driver-side measurement. A path
+    os.walk can't see — an object-store URI at real scale, a missing dir,
+    or an empty one — must classify LARGE, never small."""
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.pipeline import _small_tail_gate
+
+    cfg = DedupConfig()
+    # unmeasurable paths → strict planning
+    assert _small_tail_gate(None, cfg) is False
+    assert _small_tail_gate("s3://bucket/100tb-corpus", cfg) is False
+    assert _small_tail_gate(str(tmp_path / "missing"), cfg) is False
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert _small_tail_gate(str(empty), cfg) is False
+    # a real small local parquet footprint opts in ...
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "part-0.parquet").write_bytes(b"x" * 1024)
+    assert _small_tail_gate(str(small), cfg) is True
+    # ... unless the LCS gate is on (stats-sensitive corpus join)
+    import dataclasses
+    assert _small_tail_gate(
+        str(small), dataclasses.replace(cfg, min_lcs=16)) is False
