@@ -26,8 +26,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 CHUNK = 1000  # fixed-mode chunk size for SQL-parity queries (chars)
 
 
+def _par_read(spark: SparkSession, path: str, key: str) -> DataFrame:
+    """Parquet read with a scan-parallelism floor (guide §6 / §2.5).
+
+    The driver SF tables are written as ONE row group per file, so the
+    scan gets one task no matter how small ``maxPartitionBytes`` is — and
+    whole-stage fusion then runs every per-row expression downstream of
+    the scan (text decode, regex splits, md5/sha hashing, array ops) on
+    ONE core until the first exchange (measured: the entire doc_repetition
+    query single-task at sf1.0). When the scan has fewer splits than the
+    session's parallelism, re-spread rows right after the read with a
+    deterministic hash repartition on the table key (hash, not
+    round-robin: no sort-before-repartition pass, and row placement stays
+    stable under task retry). Already-parallel scans pass through.
+    """
+    df = spark.read.parquet(path)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p, F.col(key))
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _par_read(spark, f"{sf_dir}/documents.parquet", "doc_id")
 
 
 # Deterministic duplicate injection for the dedup-family parity queries
@@ -60,6 +81,21 @@ def _docs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(inj)
 
 
+def _dochash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text_hash, lang, n_chars) over the dup-injected table —
+    the shared input of the four document-granularity dedup queries
+    (exact_dup_groups, doc_dedup_stats, doc_manifest, dup_docs_by_lang).
+    Narrow (no text) and session-cached, so the full-text scan + sha256
+    runs once per session instead of four times."""
+    def build():
+        return _docs_dup(spark, sf_dir).select(
+            "doc_id", F.sha2("text", 256).alias("text_hash"), "lang",
+            "n_chars",
+        )
+
+    return _cached_frame(spark, sf_dir, "dochash", build)
+
+
 _DOCS2_SQL = f"""docs2 AS (
     SELECT doc_id, text, lang, source, n_chars FROM documents
     UNION ALL
@@ -75,19 +111,29 @@ def _chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no Python UDF): chunk → sha256 → first-occurrence window (SURVEY.md
     C1+J1+J2). The injected duplicates make every downstream dedup metric
     (is_new=false, backrefs, eviction windows, MaxMem intervals)
-    non-trivially falsifiable at the driver's sf0.01 gate."""
+    non-trivially falsifiable at the driver's sf0.01 gate.
+
+    Session-cached (keyed persist, same pattern as the token-hash frame):
+    SIX queries consume this manifest (chunk_manifest, chunk_dedup_stats,
+    max_mem, mem_use, block_sizes, backref_stats) and each used to replan
+    the whole chunk+sha256 scan; the manifest itself is narrow (one row
+    per 1000-char chunk)."""
     from dedup_spark.operators.chunk import fixed_chunks_relational
 
-    chunks = fixed_chunks_relational(
-        _docs_dup(spark, sf_dir), CHUNK, content_col="text", id_col="doc_id"
-    )
-    w = Window.partitionBy("hash").orderBy("file_id", "seq")
-    return (
-        chunks.withColumn("rn", F.row_number().over(w))
-        .withColumn("is_new", F.col("rn") == 1)
-        .drop("rn")
-        .withColumnRenamed("file_id", "doc_id")
-    )
+    def build():
+        chunks = fixed_chunks_relational(
+            _docs_dup(spark, sf_dir), CHUNK, content_col="text",
+            id_col="doc_id"
+        )
+        w = Window.partitionBy("hash").orderBy("file_id", "seq")
+        return (
+            chunks.withColumn("rn", F.row_number().over(w))
+            .withColumn("is_new", F.col("rn") == 1)
+            .drop("rn")
+            .withColumnRenamed("file_id", "doc_id")
+        )
+
+    return _cached_frame(spark, sf_dir, "chunk_manifest", build)
 
 
 _CHUNKS_CTE = f"""
@@ -119,8 +165,8 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 at document granularity: groups of byte-identical docs (over the
     dup-injected table — non-empty, falsifiable result)."""
     return (
-        _docs_dup(spark, sf_dir)
-        .groupBy(F.sha2("text", 256).alias("text_hash"))
+        _dochash_frame(spark, sf_dir)
+        .groupBy("text_hash")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("first_doc"),
@@ -133,12 +179,12 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: corpus-level dedup ratio at document granularity (dup-injected
     table — dup_ratio > 0)."""
-    d = _docs_dup(spark, sf_dir)
+    d = _dochash_frame(spark, sf_dir)
     return d.agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct(F.sha2("text", 256)).alias("n_unique"),
+        F.countDistinct("text_hash").alias("n_unique"),
         F.round(
-            1.0 - F.countDistinct(F.sha2("text", 256)) / F.count("*"), 6
+            1.0 - F.countDistinct("text_hash") / F.count("*"), 6
         ).alias("dup_ratio"),
     )
 
@@ -147,7 +193,7 @@ def q_doc_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+J2 at document granularity: first-occurrence flag + backref to
     the latest previous identical doc (writer.go:499-508 semantics); the
     injected duplicates exercise the is_new=false + backref branches."""
-    d = _docs_dup(spark, sf_dir).withColumn("text_hash", F.sha2("text", 256))
+    d = _dochash_frame(spark, sf_dir)
     w = Window.partitionBy("text_hash").orderBy("doc_id")
     return d.select(
         "doc_id",
@@ -190,7 +236,7 @@ def q_max_mem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dup_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 grouped: duplicate-document counts per language (dup-injected
     table — n_dup_docs > 0)."""
-    d = _docs_dup(spark, sf_dir).withColumn("text_hash", F.sha2("text", 256))
+    d = _dochash_frame(spark, sf_dir)
     w = Window.partitionBy("text_hash").orderBy("doc_id")
     return (
         d.withColumn("is_new", F.row_number().over(w) == 1)
@@ -461,13 +507,19 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed = sig.select(
             "doc_id", gid.alias("gid"), *[f"mh{i}" for i in range(_K16)]
         )
+        # explicitly-numbered repartition: the window exchange is tiny in
+        # bytes, and AQE would otherwise coalesce it to ~1 task — the
+        # cached frame then serves every consumer window (rep min here,
+        # block counts in the pair query) at that width (guide §2.5)
         w = Window.partitionBy("gid")
-        return keyed.select(
+        p = spark.sparkContext.defaultParallelism * 2
+        return keyed.repartition(p, "gid").select(
             "doc_id", "gid", F.min("doc_id").over(w).alias("rep"),
             *[f"mh{i}" for i in range(_K16)],
         )
 
     members = _cached_frame(spark, sf_dir, "band_members", build_members)
+    p = spark.sparkContext.defaultParallelism * 2
     reps = members.where(F.col("doc_id") == F.col("rep"))
     band_arr = F.array(
         *[
@@ -493,11 +545,36 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands, _MAX_BAND_BUCKET, _BAND_SALT,
         key_cols=("band_id", "band_val"), id_col="doc_id",
     )
-    mem = members.select("rep", "doc_id")
+    # rep pairs → member pairs via BLOCKED per-group id arrays + codegen
+    # explode, not a row-level membership join: the row join emitted each
+    # of the ~666M expanded pairs (sf1.0) through a hash-relation probe
+    # iterator — microbenched 26 s for the same row count that a
+    # list-join + two Generate explodes emits in ~3 s (both measured on
+    # this host, 32 cores). Arrays are salted into ≤_MAX_BAND_BUCKET-id
+    # blocks (same bound as the pair ladder), so no single cached array
+    # row grows with a mega-group; the block join fans out ≤ nb rows per
+    # rep before the explodes. Join strategy is left to the planner:
+    # the block table is one narrow array row per ~1000 members
+    # (broadcast here; a shuffle join at fleet scale).
+    gw = Window.partitionBy("gid")
+    nb = F.ceil(F.count("*").over(gw) / _MAX_BAND_BUCKET).cast("int")
+    mem_blocks = (
+        members.select(
+            "rep", "doc_id",
+            F.pmod(F.xxhash64("doc_id"), nb).cast("int").alias("blk"),
+        )
+        .groupBy("rep", "blk")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .drop("blk")
+    )
     cross = (
-        rep_pairs
-        .join(mem.withColumnsRenamed({"rep": "src", "doc_id": "a"}), "src")
-        .join(mem.withColumnsRenamed({"rep": "dst", "doc_id": "b"}), "dst")
+        rep_pairs.repartition(p, "src")
+        .join(mem_blocks.withColumnsRenamed({"rep": "src", "ids": "a_ids"}),
+              "src")
+        .select("dst", F.explode("a_ids").alias("a"))
+        .join(mem_blocks.withColumnsRenamed({"rep": "dst", "ids": "b_ids"}),
+              "dst")
+        .select("a", F.explode("b_ids").alias("b"))
         .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
     )
     # within-exact-group pairs through the SAME ladder, uncapped
@@ -590,20 +667,22 @@ _MAX_GRAM_DF = 1000  # posting-list cap: grams in more docs carry no signal
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram exact Jaccard near-dup pairs (threshold 0.3).
 
-    Plan: posting-list pair generation, NOT a self-join on the raw n-gram
-    string. Grams are keyed by ``xxhash64`` (8-byte shuffle key instead of
-    full 3-gram text); each gram's sorted doc list yields its pairs
-    directly, so pair explosion is bounded by ``_MAX_GRAM_DF``² per gram
-    rather than quadratic in an unbounded hot-gram posting list. At the
-    driver SFs every gram is far below the cap, so results are identical to
-    the exact SQL twin (which applies the same df cap)."""
-    # three consumers (pair-gen + the src/dst size joins) — without a
-    # persist the gram aggregation plans THREE times (measured: zero
+    Plan: document-frequency-capped inverted-index pair generation. Grams
+    are keyed by ``xxhash64`` (8-byte shuffle key instead of full 3-gram
+    text); the (gh, doc_id) rows of grams under the ``_MAX_GRAM_DF`` cap
+    self-join on the gram hash (co-partitioned merge join — each key's
+    match buffer is bounded by the cap), so pair explosion is bounded by
+    ``_MAX_GRAM_DF``² per gram rather than quadratic in an unbounded
+    hot-gram posting list. At the driver SFs every gram is far below the
+    cap, so results are identical to the exact SQL twin (which applies
+    the same df cap)."""
+    # three consumers (pair-gen self-join + the per-doc sizes) — without a
+    # persist the gram build plans THREE times (measured: zero
     # ReusedExchange, 2.2x query wall). The keyed persist carries the
     # eager materialization barrier, so the size-join broadcast futures
     # can't race the unpopulated cache into double compute (same pattern,
     # and same event-log evidence, as dedup_spark/pipeline.py).
-    def build_postings():
+    def build_gram_rows():
         d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
         # materialize the token array in its OWN projection: referencing
         # the split() expression from the size guard, the sequence bound,
@@ -632,41 +711,67 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).where(F.col("ng") != "").select(
             "doc_id", F.xxhash64("ng").alias("gh")
         )
+        # kept (gh, doc_id) rows: window count over an explicitly-numbered
+        # repartition (AQE-coalesce-exempt — guide §2.5), same df cap as
+        # the collect_list postings this replaces. The frame stays
+        # hash-partitioned on gh in the cache, so the pair self-join below
+        # needs no further exchange.
+        p = spark.sparkContext.defaultParallelism * 2
+        w = Window.partitionBy("gh")
         return (
-            grams.groupBy("gh")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-            .where(F.size("ids") <= _MAX_GRAM_DF)
+            grams.repartition(p, "gh")
+            .withColumn("df", F.count("*").over(w))
+            .where(F.col("df") <= _MAX_GRAM_DF)
+            .select("gh", "doc_id")
         )
 
-    postings = _cached_frame(spark, sf_dir, "ngram_postings", build_postings)
-    sizes = postings.select(F.explode("ids").alias("doc_id")).groupBy(
-        "doc_id"
-    ).agg(F.count("*").alias("n"))
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "y -> struct(x AS src, y AS dst))))"
-    )
-    inter = (
-        postings.where(F.size("ids") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "src", "n": "n_src"}), "src")
-        .join(sizes.withColumnsRenamed({"doc_id": "dst", "n": "n_dst"}), "dst")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_src") + F.col("n_dst") - F.col("n_common")),
-                6,
-            ),
+    def build_pairs():
+        gram_rows = _cached_frame(
+            spark, sf_dir, "ngram_gram_rows", build_gram_rows
         )
-        .where(F.col("jaccard") >= 0.3)
-        .select("src", "dst", "n_common", "jaccard")
-    )
+        sizes = gram_rows.groupBy("doc_id").agg(F.count("*").alias("n"))
+        # pair generation as a co-partitioned merge self-join on the gram
+        # hash (guide §7.1): the old flatten(transform(...)) explode over
+        # collect_list postings materialized every gram's C(df,2) struct
+        # array through interpreted HOFs — measured 121 s of GC across the
+        # explode stages at sf1.0; the join streams the identical pair
+        # multiset out of codegen. Per-key match buffer ≤ _MAX_GRAM_DF
+        # rows (the df cap), so no task holds a hot gram's whole pair set.
+        a = gram_rows.alias("a")
+        b = gram_rows.alias("b")
+        inter = (
+            a.hint("merge")
+            .join(b, "gh")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
+        return (
+            inter.join(
+                sizes.withColumnsRenamed({"doc_id": "src", "n": "n_src"}), "src"
+            )
+            .join(sizes.withColumnsRenamed({"doc_id": "dst", "n": "n_dst"}), "dst")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("n_src") + F.col("n_dst") - F.col("n_common")),
+                    6,
+                ),
+            )
+            .where(F.col("jaccard") >= 0.3)
+            .select("src", "dst", "n_common", "jaccard")
+        )
+
+    # the near-dup edge set is the shared input of neardup_components /
+    # neardup_survivors / dedup_reduction_stats — without the keyed persist
+    # each of those queries replans the WHOLE posting-list pair-gen
+    # (measured ~20-30 s apiece at sf1.0; the edge set itself is a few
+    # thousand narrow rows). Same session-keyed persist + eager barrier
+    # pattern as the token-hash frame above.
+    return _cached_frame(spark, sf_dir, "ngram_pairs", build_pairs)
 
 
 _NGRAM_SQL = f"""
@@ -713,10 +818,17 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure over the same edges."""
     from dedup_spark.operators.cluster import connected_components
 
-    edges = q_ngram_jaccard_pairs(spark, sf_dir).select("src", "dst")
-    return connected_components(edges).select(
-        F.col("file_id").alias("doc_id"), "cluster_id"
-    )
+    def build_cc():
+        edges = q_ngram_jaccard_pairs(spark, sf_dir).select("src", "dst")
+        return connected_components(edges).select(
+            F.col("file_id").alias("doc_id"), "cluster_id"
+        )
+
+    # label table cached for the survivors/reduction consumers (narrow:
+    # one row per doc touching a near-dup edge) — the CC run itself reads
+    # the cached edge frame, so repeat consumers pay neither pair-gen nor
+    # the CC rounds again within a session.
+    return _cached_frame(spark, sf_dir, "neardup_cc", build_cc)
 
 
 _CC_SQL = _NGRAM_SQL.replace(
@@ -826,8 +938,10 @@ def q_embedding_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     big side streams, query side broadcast."""
     from dedup_spark.operators.simsearch import cosine_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = emb.where("vec_id < 10")
+    emb = _par_read(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
+    # query side: plain pushed-filter read (10 rows) — routing it through
+    # the repartitioned frame would cost a full exchange to extract them
+    q = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("vec_id < 10")
     return (
         cosine_pairs(emb, q, min_cos=-1.0)
         .withColumn("cosine", F.round("cosine", 4))
@@ -859,9 +973,10 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     masks, so the candidate sets — and therefore results — match exactly."""
     from dedup_spark.operators.simsearch import lsh_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _par_read(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
+    q = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("vec_id < 10")
     return lsh_topk(
-        emb, emb.where("vec_id < 10"), k=5,
+        emb, q, k=5,
         n_bits=_ANN_BITS, dim=64, n_probes=_ANN_PROBES, n_tables=1,
     )
 
@@ -907,8 +1022,9 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the value check is exact."""
     from dedup_spark.operators.simsearch import cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_topk(emb, emb.where("vec_id < 10"), k=5)
+    emb = _par_read(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
+    q = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("vec_id < 10")
+    return cosine_topk(emb, q, k=5)
 
 
 _EMB_TOPK_SQL = """

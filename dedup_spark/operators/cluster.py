@@ -83,12 +83,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     spark = edges.sparkSession
     if n_partitions is None:
         n_partitions = max(8, spark.sparkContext.defaultParallelism // 4)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
-    try:
-        return _cc_loop(edges, max_iter, n_partitions, edges_canonical)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return _cc_loop(edges, max_iter, n_partitions, edges_canonical)
 
 
 DRIVER_FINALIZE_EDGES = 500_000  # collect threshold: ~8 MB of (u,v) longs
@@ -171,6 +166,20 @@ def _cc_loop(edges: DataFrame, max_iter: int, n_partitions: int,
         assign = _assign_from_edges(pdf[["u", "v"]].to_numpy())
         return _assign_df(spark, assign)
 
+    # narrow the per-round shuffles ONLY NOW: canon above is materialized
+    # at full session width (the override used to sit on the whole lineage,
+    # throttling the upstream pair-gen of the edge set to n_partitions —
+    # measured 8-task stages carrying ~50 s of 32-core work at sf1.0)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    try:
+        return _cc_rounds(canon, max_iter, n_partitions)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cc_rounds(canon: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
+    spark = canon.sparkSession
     e = canon.repartition(n_partitions).localCheckpoint(eager=True)
     canon.unpersist()
 

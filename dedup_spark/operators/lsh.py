@@ -12,20 +12,22 @@ Plan shape (all relational):
       over that partitioning (no join back)
     → skew ladder per bucket size s (north_rule: explicit skew handling,
       no silent truncation):
-        s ≤ max_bucket          → direct in-partition pair-gen
+        s ≤ max_bucket          → one block: the pair join degenerates to
+          a per-bucket self-join with zero replication
         s ≤ max_bucket·salt     → SALTED pair-gen: members split into
           ceil(s/max_bucket) blocks; every block pair (i ≤ j) becomes its
-          own task key, so no task ever materializes more than
-          ~2·max_bucket members. Recall-neutral — every member pair lands
-          in exactly one block pair.
+          own join key of a co-partitioned merge self-join, so no task
+          ever buffers more than ~max_bucket members per side.
+          Recall-neutral — every member pair lands in exactly one block
+          pair.
         s > max_bucket·salt     → dropped WITH LOGGED METRICS (true
           boilerplate mega-buckets: quadratic pair-gen is never the right
           answer there at any parallelism)
     → distinct pairs
 
 The window count buffers each bucket group in-partition
-(ExternalAppendOnlyUnsafeRowArray — spills, never OOMs); the downstream
-collect_list group sizes are bounded by max_bucket after the filter. At
+(ExternalAppendOnlyUnsafeRowArray — spills, never OOMs); the merge join
+buffers one ≤max_bucket block per key (same spillable array). At
 100 TB the band shuffle is the dominant cost: payload is
 (band_hash, file_id) only — 16 bytes a row — never content or signatures.
 """
@@ -83,19 +85,6 @@ def dropped_bucket_metrics(signatures: DataFrame,
         F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("dropped_rows"),
         F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
     )
-
-
-_PAIRS_IN_LIST = (
-    "flatten(transform(ids, (x, i) -> "
-    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-    "y -> struct(least(x, y) AS src, greatest(x, y) AS dst))))"
-)
-
-_PAIRS_ACROSS_LISTS = (
-    "flatten(transform(ids, x -> "
-    "transform(ids_r, y -> "
-    "struct(least(x, y) AS src, greatest(x, y) AS dst))))"
-)
 
 
 # Below this many band rows the mega-bucket PRE-FILTER is cost-gated
@@ -206,15 +195,16 @@ def salted_pairs(buckets: DataFrame, max_b: int, salt: int | None,
             hot = None
             cold = buckets
             cap = salt_cap
-    groups = _block_tasks(cold, max_b, keys, id_col, cap=cap)
-    pairs = groups.select(
-        F.explode(
-            F.when(F.col("bi") == F.col("bj"), F.expr(_PAIRS_IN_LIST))
-            .otherwise(F.expr(_PAIRS_ACROSS_LISTS))
-        ).alias("p")
-    ).select("p.src", "p.dst")
+    pairs = _block_pairs(cold, max_b, keys, id_col, cap=cap)
     if dedupe:
-        pairs = pairs.distinct()
+        # dropDuplicates over an explicitly-numbered repartition on the
+        # pair key: one exchange (the aggregate reuses the partitioning),
+        # and the explicit width keeps AQE from coalescing the deduped
+        # pair set to a handful of tasks — consumers fan each pair out
+        # quadratically (group expansion), so byte-based coalescing here
+        # starves every downstream stage (guide §2.5).
+        p = pairs.sparkSession.sparkContext.defaultParallelism * 2
+        pairs = pairs.repartition(p, "src", "dst").dropDuplicates()
     if not return_metrics:
         return pairs
     # the dropped-bucket metrics ARE the pre-filter's hot-key table — no
@@ -245,47 +235,92 @@ def salted_pairs(buckets: DataFrame, max_b: int, salt: int | None,
     return pairs, dropped
 
 
-def _block_tasks(cold: DataFrame, max_b: int, keys: list[str],
-                 id_col: str, cap: int | None = None) -> DataFrame:
-    """Bucket members → one row per block-pair task with its (bounded)
-    member lists. Split out of ``salted_pairs`` so tests can assert the
-    per-task list-size bound directly. ``cap``: drop buckets larger than
-    this AFTER the window count (the no-pre-filter plan shape)."""
+def _block_sides(cold: DataFrame, max_b: int, keys: list[str],
+                 id_col: str, cap: int | None = None,
+                 n_partitions: int | None = None):
+    """Bucket members → the two sides of the block-pair join (see
+    ``_block_pairs``). Split out so tests can assert the per-task
+    member-count bound directly. ``cap``: drop buckets larger than this
+    AFTER the window count (the no-pre-filter plan shape)."""
+    if n_partitions is None:
+        n_partitions = cold.sparkSession.sparkContext.defaultParallelism * 2
+    # bucket sizes via a window over an EXPLICIT fixed-width repartition:
+    # with a plain shuffle AQE coalesces this exchange by its (tiny) input
+    # bytes — measured: one task carrying the whole giant-bucket block
+    # explode for 17 s at sf1.0 — and an explicitly-numbered repartition
+    # is exempt from coalescing. Width = 2x parallelism, scale-adaptive.
     w = Window.partitionBy(*keys)
     size_ok = F.col("bucket_size") >= 2
     if cap is not None:
         size_ok = size_ok & (F.col("bucket_size") <= cap)
-    counted = cold.withColumn("bucket_size", F.count("*").over(w)).where(
-        size_ok
+    counted = (
+        cold.repartition(n_partitions, *[F.col(k) for k in keys])
+        .withColumn("bucket_size", F.count("*").over(w))
+        .where(size_ok)
     )
-    # block id per member + one row per block-pair task it belongs to; a
-    # member in block b joins tasks (min(b,t), max(b,t)) for every t. The
-    # diagonal task pairs within its own member list; off-diagonal tasks
-    # cross-pair their two disjoint lists ("l"/"r" by block order).
     nb = F.ceil(F.col("bucket_size") / max_b).cast("int")
-    tasked = counted.select(
+    base = counted.select(
         *keys,
         id_col,
         F.pmod(F.xxhash64(id_col), nb).cast("int").alias("blk"),
-        F.explode(F.sequence(F.lit(0), nb - 1)).alias("t"),
-    ).select(
-        *keys,
-        id_col,
-        F.least("blk", "t").alias("bi"),
-        F.greatest("blk", "t").alias("bj"),
-        F.when(F.col("blk") == F.col("t"), F.lit("d"))
-        .when(F.col("blk") < F.col("t"), F.lit("l"))
-        .otherwise(F.lit("r"))
-        .alias("side"),
+        nb.alias("nb"),
     )
-    # no sort_array: pair canonicalization is least/greatest inside the
-    # pair expressions, and the caller dedupes if needed — list order is
-    # irrelevant (and sorting every bucket was measurable CPU)
-    return tasked.groupBy(*keys, "bi", "bj").agg(
-        F.collect_list(
-            F.when(F.col("side") != "r", F.col(id_col))
-        ).alias("ids"),
-        F.collect_list(
-            F.when(F.col("side") == "r", F.col(id_col))
-        ).alias("ids_r"),
+    # a member of block b sits on the LEFT of tasks (b, t) for t >= b and
+    # on the RIGHT of tasks (t, b) for t <= b; the diagonal task (b, b)
+    # sees it on both sides and keeps ordered pairs only.
+    left = base.select(
+        *keys,
+        F.col(id_col).alias("_lid"),
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.col("nb") - 1)).alias("bj"),
+    )
+    right = base.select(
+        *keys,
+        F.col(id_col).alias("_rid"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+    )
+    return left, right, n_partitions
+
+
+def _block_pairs(cold: DataFrame, max_b: int, keys: list[str],
+                 id_col: str, cap: int | None = None) -> DataFrame:
+    """Salted-block pair generation as a CO-PARTITIONED SORT-MERGE
+    SELF-JOIN on (bucket key, block i, block j).
+
+    The previous shape — collect_list the two block member lists per task,
+    then explode ``flatten(transform(...))`` struct arrays — materialized
+    every task's C(~max_b²) pair array through interpreted higher-order
+    functions before the Generate: event-log measured 909 s of GC in
+    1003 s of task time on the giant-group expansion at sf1.0 (guide §7.1
+    "high GC time = memory pressure"). The join form streams the same
+    pair set out of whole-stage-codegen SortMergeJoin with no per-task
+    array allocation at all; each join key still carries ≤ ~max_b members
+    per side (the salted-block bound), so no task buffers more than one
+    block — the same 100 TB contract, minus the allocation storm.
+
+    Exactly-once: pair (x, y), blk(x)=a ≤ blk(b)=b, matches only on task
+    key (a, b) — off-diagonal once with x on the left, y on the right;
+    diagonal tasks keep ``_lid < _rid`` ordered pairs only.
+
+    Both sides are explicitly repartitioned to the same fixed width on
+    the full join key, so the merge join reuses those exchanges (no AQE
+    re-coalescing, no planner-chosen broadcast: a MERGE hint pins the
+    strategy — pair-gen output is quadratically larger than its input,
+    so size-estimate-driven strategy/coalesce decisions are always wrong
+    here).
+    """
+    left, right, n_partitions = _block_sides(cold, max_b, keys, id_col, cap)
+    jk = [*keys, "bi", "bj"]
+    part = [F.col(k) for k in jk]
+    left = left.repartition(n_partitions, *part)
+    right = right.repartition(n_partitions, *part)
+    return (
+        left.hint("merge")
+        .join(right, jk)
+        .where((F.col("bi") != F.col("bj")) | (F.col("_lid") < F.col("_rid")))
+        .select(
+            F.least("_lid", "_rid").alias("src"),
+            F.greatest("_lid", "_rid").alias("dst"),
+        )
     )

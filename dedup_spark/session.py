@@ -92,11 +92,14 @@ def get_spark(app: str = "dedup_spark", cores: int | None = None,
         # splits lose to wave-balanced medium ones).
         .config("spark.sql.files.maxPartitionBytes", str(16 << 20))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        # Throughput collector: measured 2.4x less GC CPU than default G1 on
-        # allocation-heavy stages (string explode/groupBy) at local[32] in
-        # this environment; same flag goes to executors on a real cluster.
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.memory.offHeap.enabled",
+                os.environ.get("SPARK_OFFHEAP", "0") != "0")
+        .config("spark.memory.offHeap.size",
+                os.environ.get("SPARK_OFFHEAP", "0"))
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GC_FLAGS", "-XX:+UseParallelGC"))
+        .config("spark.executor.extraJavaOptions",
+                os.environ.get("SPARK_GC_FLAGS", "-XX:+UseParallelGC"))
         .config("spark.local.dir", _local_dir())
         # one BLAS/OMP thread per Python worker: N workers x N BLAS threads
         # oversubscribes quadratically on wide executors

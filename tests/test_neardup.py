@@ -192,7 +192,7 @@ def test_salted_pairs_uncapped_ladder(spark):
     the bucket key partitions the ids."""
     from itertools import combinations
 
-    from dedup_spark.operators.lsh import _block_tasks, salted_pairs
+    from dedup_spark.operators.lsh import _block_sides, salted_pairs
 
     n = 100  # 25x the direct cap of max_b=4 — deep into the block regime
     buckets = spark.createDataFrame(
@@ -205,16 +205,19 @@ def test_salted_pairs_uncapped_ladder(spark):
     want = {tuple(sorted(p)) for p in combinations(range(n), 2)}
     assert set(got) == want
     assert len(got) == len(want)  # exactly-once: no distinct needed
-    # per-task bound: every block-pair task's combined member lists stay
-    # within a small multiple of max_b (hash-multinomial block sizes
-    # concentrate at bucket_size/nb ≤ max_b; deterministic via xxhash64)
-    sizes = [
-        r["m"]
-        for r in _block_tasks(buckets, 4, ["bkt"], "doc_id")
-        .select((F.size("ids") + F.size("ids_r")).alias("m"))
-        .collect()
-    ]
-    assert max(sizes) <= 4 * 4, max(sizes)
+    # per-task bound: no join key (bucket, bi, bj) sees more than a small
+    # multiple of max_b members on either side of the block-pair join
+    # (hash-multinomial block sizes concentrate at bucket_size/nb ≤ max_b;
+    # deterministic via xxhash64) — the memory contract of the ladder
+    left, right, _ = _block_sides(buckets, 4, ["bkt"], "doc_id")
+    for side in (left, right):
+        sizes = [
+            r["m"]
+            for r in side.groupBy("bkt", "bi", "bj")
+            .agg(F.count("*").alias("m"))
+            .collect()
+        ]
+        assert max(sizes) <= 4 * 4, max(sizes)
     # uncapped metrics surface reports literal zeros
     _, dropped = salted_pairs(
         buckets, 4, None, key_cols=("bkt",), id_col="doc_id",

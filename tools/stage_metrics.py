@@ -11,7 +11,7 @@ import sys
 def load(path):
     if os.path.isdir(path):
         for name in os.listdir(path):
-            if name.startswith("events_"):
+            if name.startswith("events_") or name.startswith("eventlog_v2"):
                 path = os.path.join(path, name)
                 break
     with open(path) as f:
