@@ -519,7 +519,6 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     members = _cached_frame(spark, sf_dir, "band_members", build_members)
-    p = spark.sparkContext.defaultParallelism * 2
     reps = members.where(F.col("doc_id") == F.col("rep"))
     band_arr = F.array(
         *[
@@ -541,9 +540,21 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = reps.select("doc_id", F.explode(band_arr).alias("b")).select(
         "doc_id", "b.band_id", "b.band_val"
     )
-    rep_pairs = salted_pairs(
-        bands, _MAX_BAND_BUCKET, _BAND_SALT,
-        key_cols=("band_id", "band_val"), id_col="doc_id",
+    # rep_pairs persisted (session-keyed like every cache in this module):
+    # the pair ladder ends in the dedupe HashAggregate, and when that
+    # aggregate fuses into the same codegen stage as the expansion below,
+    # its map-iterator output forces needCopyResult on the whole stage —
+    # every one of the ~666M expanded rows is then copy-buffered
+    # (JFR-measured 17 GB of UnsafeRow.copy + 12 GB of LinkedList nodes,
+    # >1,400 s GC at sf1.0). The cache scan is a stage boundary, so the
+    # expansion stage holds only joins/explodes and streams copy-free;
+    # the 15M-row pair frame is narrow (16 B/row).
+    rep_pairs = _cached_frame(
+        spark, sf_dir, "band_rep_pairs",
+        lambda: salted_pairs(
+            bands, _MAX_BAND_BUCKET, _BAND_SALT,
+            key_cols=("band_id", "band_val"), id_col="doc_id",
+        ),
     )
     # rep pairs → member pairs via BLOCKED per-group id arrays + codegen
     # explode, not a row-level membership join: the row join emitted each
@@ -567,11 +578,26 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("doc_id").alias("ids"))
         .drop("blk")
     )
-    cross = (
-        rep_pairs.repartition(p, "src")
+    # ONE Generate per codegen stage, with an explicit exchange between
+    # the two explode passes. Two chained explodes in a single stage
+    # buffer the whole nested |A|×|B| product of each input row through
+    # BufferedRowIterator — every output row is UnsafeRow.copy()-ed into
+    # a LinkedList before the parent drains it (JFR-measured 17 GB of
+    # row copies + 12 GB of list nodes, >1,400 s of GC at sf1.0, and
+    # reproduced in isolation: the same chain over ~900-element arrays
+    # runs 23 s fused vs 2.4 s split). The intermediate exchange keys on
+    # (dst, a), so a mega-group destination's expansion spreads across
+    # every task instead of hammering one (guide §2.5).
+    p = spark.sparkContext.defaultParallelism * 2
+    half = (
+        rep_pairs
         .join(mem_blocks.withColumnsRenamed({"rep": "src", "ids": "a_ids"}),
               "src")
         .select("dst", F.explode("a_ids").alias("a"))
+        .repartition(p, "dst", "a")
+    )
+    cross = (
+        half
         .join(mem_blocks.withColumnsRenamed({"rep": "dst", "ids": "b_ids"}),
               "dst")
         .select("a", F.explode("b_ids").alias("b"))
@@ -711,25 +737,29 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).where(F.col("ng") != "").select(
             "doc_id", F.xxhash64("ng").alias("gh")
         )
-        # kept (gh, doc_id) rows: window count over an explicitly-numbered
-        # repartition (AQE-coalesce-exempt — guide §2.5), same df cap as
-        # the collect_list postings this replaces. The frame stays
-        # hash-partitioned on gh in the cache, so the pair self-join below
-        # needs no further exchange.
+        # kept (gh, doc_id, n) rows: df cap via a window count over an
+        # explicitly-numbered repartition (AQE-coalesce-exempt — guide
+        # §2.5), then each doc's kept-gram count ``n`` via a second
+        # narrow window — carrying n on the gram row lets the pair stage
+        # compute jaccard inline instead of joining the ~10^8-row pair
+        # aggregate against a per-doc size table twice (both windows and
+        # the join shuffle only the 2.6M narrow gram rows at sf1.0).
         p = spark.sparkContext.defaultParallelism * 2
         w = Window.partitionBy("gh")
+        wd = Window.partitionBy("doc_id")
         return (
             grams.repartition(p, "gh")
             .withColumn("df", F.count("*").over(w))
             .where(F.col("df") <= _MAX_GRAM_DF)
             .select("gh", "doc_id")
+            .repartition(p, "doc_id")
+            .withColumn("n", F.count("*").over(wd))
         )
 
     def build_pairs():
         gram_rows = _cached_frame(
             spark, sf_dir, "ngram_gram_rows", build_gram_rows
         )
-        sizes = gram_rows.groupBy("doc_id").agg(F.count("*").alias("n"))
         # pair generation as a co-partitioned merge self-join on the gram
         # hash (guide §7.1): the old flatten(transform(...)) explode over
         # collect_list postings materialized every gram's C(df,2) struct
@@ -737,23 +767,32 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # explode stages at sf1.0; the join streams the identical pair
         # multiset out of codegen. Per-key match buffer ≤ _MAX_GRAM_DF
         # rows (the df cap), so no task holds a hot gram's whole pair set.
+        # The co-occurrence count groups by (src, dst) over an 8×-wide
+        # explicit repartition: the pair stream is nearly duplicate-free
+        # (114M distinct of 127M instances at sf1.0), so at the session's
+        # default width each final-agg task's hash map outgrew its
+        # execution-memory share and fell back to sort-based aggregation
+        # (measured 16.2 s → 6.6 s for the agg alone). n_src/n_dst ride
+        # the group key (functionally dependent on src/dst), so jaccard
+        # is computed inline — no join back onto the pair aggregate.
         a = gram_rows.alias("a")
         b = gram_rows.alias("b")
+        p8 = spark.sparkContext.defaultParallelism * 8
         inter = (
             a.hint("merge")
             .join(b, "gh")
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .repartition(p8, F.col("a.doc_id"), F.col("b.doc_id"))
             .groupBy(
-                F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+                F.col("a.doc_id").alias("src"),
+                F.col("b.doc_id").alias("dst"),
+                F.col("a.n").alias("n_src"),
+                F.col("b.n").alias("n_dst"),
             )
             .agg(F.count("*").alias("n_common"))
         )
         return (
-            inter.join(
-                sizes.withColumnsRenamed({"doc_id": "src", "n": "n_src"}), "src"
-            )
-            .join(sizes.withColumnsRenamed({"doc_id": "dst", "n": "n_dst"}), "dst")
-            .withColumn(
+            inter.withColumn(
                 "jaccard",
                 F.round(
                     F.col("n_common")
