@@ -38,16 +38,20 @@ def cosine_pairs(embeddings: DataFrame, queries: DataFrame,
     The query side is broadcast (small by contract); the big side streams —
     no shuffle of the embedding table at all.
     """
+    # norms computed per ROW on each side before the join (guide §2.3):
+    # inlining them in the pair expression re-evaluates the item norm
+    # once per (query, item) pair — Q× the work for bit-identical values
+    # (same aggregate, same operand order in the divisor product).
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    )
+    ).withColumn("q_norm", _norm(F.col("q_vec")))
     x = embeddings.select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("item_vec"),
-    )
+    ).withColumn("item_norm", _norm(F.col("item_vec")))
     cos = _dot(F.col("q_vec"), F.col("item_vec")) / (
-        _norm(F.col("q_vec")) * _norm(F.col("item_vec"))
+        F.col("q_norm") * F.col("item_norm")
     )
     return (
         x.join(F.broadcast(q))
@@ -151,6 +155,8 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int,
         cands = c if cands is None else cands.unionByName(c)
     # a (query, item) pair can match through several probes/tables
     cand = cands.dropDuplicates(["q_id", "item_id"])
+    # per-pair norms, but written as the same divisor product as
+    # cosine_pairs (q first) so both paths stay value-identical
     cos = _dot(F.col("q_vec"), F.col("item_vec")) / (
         _norm(F.col("q_vec")) * _norm(F.col("item_vec"))
     )

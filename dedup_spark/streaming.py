@@ -69,15 +69,15 @@ file_id-bucketed table); the wide cumulative ``signatures`` table is
 never re-shuffled — it is only consumed by the on-demand audit surfaces
 (``expanded_edges`` / ``current_clusters``).
 
-Fixed-cost budget (round 5 — the per-batch commit count is the small-
-batch throughput limiter): a fold is seven Spark jobs, five of them
-sequential barriers — signatures, members, born-rep sketches, one
-bucket-stats job that both materializes the narrow universe cache and
-returns every skew/row counter, and the verify+edges commit carrying
-the candidate-pair count as an observe() metric — plus CONCURRENT
-group-delta and bands commits (threads joined before the edges
-marker; born-group detection consumes the delta lineage over the
-committed members partition, so nothing waits on the delta commit).
+Fixed-cost budget (rounds 5-6 — the per-batch commit count is the small-
+batch throughput limiter): a fold is seven Spark jobs, four of them
+sequential barriers — signatures, born-rep sketches, one bucket-stats
+job that both materializes the narrow universe cache and returns every
+skew/row counter, and the verify+edges commit carrying the
+candidate-pair count as an observe() metric — plus CONCURRENT members,
+group-delta and bands commits (threads joined before the edges marker;
+born-group detection consumes the delta lineage over the committed
+signature partition, so nothing waits on the members or delta commits).
 Map-only state writes size their output files from measured input bytes
 (never a fixed fan-out), and each phase's wall lands in
 ``metrics.jsonl`` as ``phase_ms``.
@@ -381,11 +381,11 @@ def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
     ``(new_bands, groups_part, repsig_part, bands_part, threads)``
     where ``new_bands`` is the band LINEAGE over the committed repsigs
     partition (column-pruned parquet scan, identical rows to the bands
-    partition) and ``threads`` holds the started writer threads (group
-    delta when ``groups_async``, bands when ``bands_async``) committing
-    their partitions concurrently with the caller's jobs — the caller
-    must ``join()`` each (surfacing its error) before committing the
-    batch's edges marker. With ``groups_async`` the born-group detection
+    partition) and ``threads`` holds the started writer threads
+    (members always, group delta when ``groups_async``, bands when
+    ``bands_async``) committing their partitions concurrently with the
+    caller's jobs — the caller must ``join()`` each (surfacing its
+    error) before committing the batch's edges marker. With ``groups_async`` the born-group detection
     consumes the delta LINEAGE over the committed members partition (a
     narrow re-agg of 3-long rows ∝ batch) instead of waiting on the
     delta commit, removing one sequential job barrier per fold."""
@@ -495,6 +495,10 @@ def _index_batch(spark: SparkSession, state_dir: str, cfg: DedupConfig,
         repsig_part, "file_id", "fb", cfg,
         batch_rows=batch_rows, flat_coalesce=_k(sig_part),
     ))
+    # (an async repsigs commit with lineage-based band consumers was
+    # measured in round 6 and REVERTED: the overlapped jobs contend for
+    # the same cores and the born-detection lineage re-runs per consumer
+    # — fold wall grew ~15%, so the commit stays a barrier)
     new_rep_sigs = _drop_layout_cols(spark.read.parquet(repsig_part))
     new_bands = band_buckets(new_rep_sigs, cfg)
 
