@@ -715,25 +715,21 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and the gram lambda re-runs the regex split per reference (no
         # CSE across the expression tree) — measured 7x on the gram build
         # (4.9 s→0.7 s)
+        from dedup_spark.operators.textstats import _trigram_array
+
         dt = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
         toks = F.col("toks")
-        # docs with <3 tokens yield zero grams (sequence(1,0) would
-        # otherwise expand DESCENDING to [1,0] and slice(toks,0,3) throws
-        # — matches the DuckDB generate_series semantics which emits
-        # nothing)
-        gram_idx = F.when(
-            F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)
-        ).otherwise(F.array().cast("array<int>"))
+        # docs with <3 tokens yield zero grams — matches the DuckDB
+        # generate_series semantics which emits nothing. The trigram
+        # array is the shared zip_with construction (textstats) —
+        # identical strings to the per-index transform/slice form,
+        # measured ~4× cheaper per doc.
+        tri = F.when(
+            F.size(toks) >= 3, _trigram_array(toks, F.size(toks))
+        ).otherwise(F.array().cast("array<string>"))
         grams = dt.select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        gram_idx,
-                        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-                    )
-                )
-            ).alias("ng"),
+            F.explode(F.array_distinct(tri)).alias("ng"),
         ).where(F.col("ng") != "").select(
             "doc_id", F.xxhash64("ng").alias("gh")
         )
