@@ -1123,7 +1123,7 @@ ORDER BY l_returnflag, l_linestatus
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + agg + top-k: revenue per customer (broadcast dim join)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _par_read(spark, f"{sf_dir}/orders.parquet", "o_custkey")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return (
         o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
