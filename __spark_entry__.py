@@ -392,9 +392,16 @@ def _cached_frame(spark: SparkSession, sf_dir: str, name: str,
     df = _FRAME_CACHE.get(key)
     if df is None:
         df = build().persist(StorageLevel.MEMORY_AND_DISK_DESER)
-        df.count()
+        _FRAME_ROWS[(sf_dir, name)] = df.count()
         _FRAME_CACHE[key] = df
     return df
+
+
+# row counts of cached frames — the eager barrier's count() is not thrown
+# away: consumers use it for size-derived plan gates (e.g. the band
+# query's mega-bucket pre-filter). Keyed WITHOUT the application id: a
+# count is a property of the data, not the session.
+_FRAME_ROWS: dict = {}
 
 
 def release_caches() -> None:
@@ -540,22 +547,40 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = reps.select("doc_id", F.explode(band_arr).alias("b")).select(
         "doc_id", "b.band_id", "b.band_val"
     )
-    # rep_pairs persisted (session-keyed like every cache in this module):
     # the pair ladder ends in the dedupe HashAggregate, and when that
     # aggregate fuses into the same codegen stage as the expansion below,
     # its map-iterator output forces needCopyResult on the whole stage —
     # every one of the ~666M expanded rows is then copy-buffered
     # (JFR-measured 17 GB of UnsafeRow.copy + 12 GB of LinkedList nodes,
-    # >1,400 s GC at sf1.0). The cache scan is a stage boundary, so the
-    # expansion stage holds only joins/explodes and streams copy-free;
-    # the 15M-row pair frame is narrow (16 B/row).
-    rep_pairs = _cached_frame(
-        spark, sf_dir, "band_rep_pairs",
-        lambda: salted_pairs(
-            bands, _MAX_BAND_BUCKET, _BAND_SALT,
-            key_cols=("band_id", "band_val"), id_col="doc_id",
-        ),
-    )
+    # >1,400 s GC at sf1.0). A narrow 16 B/row exchange on (dst, src) is
+    # the stage boundary that keeps the expansion stage to joins/explodes
+    # only, and — unlike the session-cache + eager-count barrier it
+    # replaced — it stays INSIDE the one save job: ladder, fusion break
+    # and expansion schedule as consecutive stages with no driver
+    # job-submission gaps (event-log measured ~2.4 s of extra wall for
+    # the cache+count jobs at sf1.0; the query is the frame's only
+    # consumer, so the cache bought nothing). Keyed (dst, src) — NOT the
+    # dedupe exchange's (src, dst), which Catalyst would treat as already
+    # satisfied and elide, re-fusing the stages.
+    # mega-bucket pre-filter gated by the MEASURED member count (the cache
+    # barrier's count(), kept in _FRAME_ROWS — free): band rows = reps*4
+    # <= members*4, and below lsh.PREFILTER_MIN_BAND_ROWS the pre-filter's
+    # dedicated agg job + broadcast future cost more driver latency than
+    # the linear window-buffering they prevent. The cap itself moves
+    # inside the window pass, so the pair OUTPUT is identical either way
+    # (operators/lsh.py salted_pairs docstring); at fleet scale the count
+    # is large and the pre-filter stays on — the correct 100 TB posture.
+    from dedup_spark.operators.lsh import PREFILTER_MIN_BAND_ROWS
+
+    n_members = _FRAME_ROWS.get((sf_dir, "band_members"))
+    pf = (n_members is None
+          or n_members * 4 > PREFILTER_MIN_BAND_ROWS)
+    p2 = spark.sparkContext.defaultParallelism * 2
+    rep_pairs = salted_pairs(
+        bands, _MAX_BAND_BUCKET, _BAND_SALT,
+        key_cols=("band_id", "band_val"), id_col="doc_id",
+        prefilter=pf,
+    ).repartition(p2, "dst", "src")
     # rep pairs → member pairs via BLOCKED per-group id arrays + codegen
     # explode, not a row-level membership join: the row join emitted each
     # of the ~666M expanded pairs (sf1.0) through a hash-relation probe
@@ -778,6 +803,17 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             a.hint("merge")
             .join(b, "gh")
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter (exact, output-preserving at ANY scale): for a
+            # pair with gram-set sizes n_a, n_b and any overlap c,
+            # jaccard = c/(n_a+n_b-c) <= min(n)/max(n), so a pair with
+            # 10*min(n) < 3*max(n) can never reach the 0.3 threshold and
+            # every one of its instances (n_src/n_dst are pair constants)
+            # is dropped BEFORE the pair exchange — integer arithmetic,
+            # no float boundary (guide §2.3: shuffle fewer rows).
+            .where(
+                F.least("a.n", "b.n") * F.lit(10)
+                >= F.greatest("a.n", "b.n") * F.lit(3)
+            )
             .repartition(p8, F.col("a.doc_id"), F.col("b.doc_id"))
             .groupBy(
                 F.col("a.doc_id").alias("src"),

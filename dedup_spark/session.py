@@ -101,6 +101,18 @@ def get_spark(app: str = "dedup_spark", cores: int | None = None,
         .config("spark.executor.extraJavaOptions",
                 os.environ.get("SPARK_GC_FLAGS", "-XX:+UseParallelGC"))
         .config("spark.local.dir", _local_dir())
+        # Reduction-free exchanges (pair-gen repartitions) sort 10^8 rows
+        # by partition id for nothing when they cross the default 200-
+        # partition bypass threshold: the sort-based writer buffers the
+        # whole map output (measured on the ngram pair exchange at sf1.0:
+        # 162 s of shuffle-write time + 8 GB spill in one 13 s stage; the
+        # bypass writer streams the same 128M rows in ~3 s). cores*8
+        # covers every explicitly-numbered exchange this repo plans
+        # (widest is 8x parallelism) and scales with the executor size;
+        # the per-task cost of bypass is numPartitions 32 KB file buffers
+        # — 8 MB at cores*8=256 — trivial against executor memory.
+        .config("spark.shuffle.sort.bypassMergeThreshold",
+                str(max(200, cores * 8)))
         # one BLAS/OMP thread per Python worker: N workers x N BLAS threads
         # oversubscribes quadratically on wide executors
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
