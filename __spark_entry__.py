@@ -385,16 +385,22 @@ def _cached_frame(spark: SparkSession, sf_dir: str, name: str,
     a dead SparkContext."""
     from pyspark import StorageLevel
 
-    app = spark.sparkContext.applicationId
-    for k in [k for k in _FRAME_CACHE if k[0] != app]:
-        del _FRAME_CACHE[k]  # dead application: its persists died with it
-    key = (app, sf_dir, name)
-    df = _FRAME_CACHE.get(key)
-    if df is None:
-        df = build().persist(StorageLevel.MEMORY_AND_DISK_DESER)
-        _FRAME_ROWS[(sf_dir, name)] = df.count()
-        _FRAME_CACHE[key] = df
-    return df
+    # build/insert under a lock (ADVICE r5): two concurrent driver threads
+    # on one key would both build+persist, and the loser's persist could
+    # never be released by release_caches(). Coarse by design — concurrent
+    # callers of DIFFERENT keys are rare (bench/driver run queries
+    # serially) and a duplicate multi-second build is the real cost.
+    with _FRAME_LOCK:
+        app = spark.sparkContext.applicationId
+        for k in [k for k in _FRAME_CACHE if k[0] != app]:
+            del _FRAME_CACHE[k]  # dead application: its persists died with it
+        key = (app, sf_dir, name)
+        df = _FRAME_CACHE.get(key)
+        if df is None:
+            df = build().persist(StorageLevel.MEMORY_AND_DISK_DESER)
+            _FRAME_ROWS[(sf_dir, name)] = df.count()
+            _FRAME_CACHE[key] = df
+        return df
 
 
 # row counts of cached frames — the eager barrier's count() is not thrown
@@ -402,6 +408,12 @@ def _cached_frame(spark: SparkSession, sf_dir: str, name: str,
 # query's mega-bucket pre-filter). Keyed WITHOUT the application id: a
 # count is a property of the data, not the session.
 _FRAME_ROWS: dict = {}
+
+import threading as _threading
+
+# RLock, not Lock: cache builds NEST (ngram_pairs builds gram_rows,
+# neardup_cc builds ngram_pairs) and the building thread re-enters.
+_FRAME_LOCK = _threading.RLock()
 
 
 def release_caches() -> None:
@@ -985,6 +997,12 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
 """,
 )
+
+# exact-string surgery guards (ADVICE r5): if the donor SQL tails ever
+# drift, .replace() silently no-ops and the derived oracles become the
+# donor query with the wrong columns — fail at import instead.
+assert _CC_SQL != _NGRAM_SQL and "RECURSIVE" in _CC_SQL
+assert _SURVIVORS_CORE != _CC_SQL and "LEFT JOIN cc" in _SURVIVORS_CORE
 
 _REDUCTION_SQL = f"""
 WITH s AS ({_SURVIVORS_CORE})
