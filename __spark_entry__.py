@@ -727,6 +727,12 @@ def _simhash_sql() -> str:
 _MAX_GRAM_DF = 1000  # posting-list cap: grams in more docs carry no signal
 
 
+# below this many cached (gh, doc_id, n) rows the pair volume cannot
+# stress a 64 MB/task aggregation budget at 8x-parallelism width, and
+# the dedicated volume-measuring job would be pure added latency
+_NGRAM_VOLUME_MIN_ROWS = 4_000_000
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram exact Jaccard near-dup pairs (threshold 0.3).
 
@@ -810,7 +816,38 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is computed inline — no join back onto the pair aggregate.
         a = gram_rows.alias("a")
         b = gram_rows.alias("b")
-        p8 = spark.sparkContext.defaultParallelism * 8
+        # pair-aggregation width: 8x parallelism keeps each final-agg
+        # task's hash map inside its execution-memory share at the
+        # measured sf1.0 volume (118M instances), but the volume grows
+        # ~quadratically in gram df, and at 2x the corpus the fixed
+        # width overflowed every map into sort-based fallback (event-log
+        # measured: 13 GB spill, 2,054 s runSum in the one agg stage).
+        # For large inputs (cache row count > _NGRAM_VOLUME_MIN_ROWS,
+        # where one sub-second in-cache pass amortizes) the EXACT
+        # instance count sum(C(df,2)) sizes the exchange instead:
+        # ~80 B/key of UnsafeFixedWidthAggregationMap footprint against
+        # a 64 MB per-task budget, rounded up to a parallelism multiple
+        # (guide §2.5: derive widths from data size, not constants; the
+        # session's bypass threshold covers these widths).
+        dp = spark.sparkContext.defaultParallelism
+        p8 = dp * 8
+        if (_FRAME_ROWS.get((sf_dir, "ngram_gram_rows"), 0)
+                > _NGRAM_VOLUME_MIN_ROWS):
+            inst = gram_rows.groupBy("gh").count().agg(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2)
+            ).first()[0] or 0
+            need = -(-int(inst * 80) // (64 << 20))   # ceil div
+            p8 = max(p8, dp * (-(-need // dp)))
+            # staying on the bypass writer beats a strict 64 MB/task agg
+            # budget while the maps still fit the ~150 MB execution
+            # share: clamp to the session's (FD-limited) threshold when
+            # that keeps per-task state under 128 MB, otherwise take the
+            # width and let the exchange use the serialized-sort writer.
+            bypass_cap = int(spark.conf.get(
+                "spark.shuffle.sort.bypassMergeThreshold", "200"))
+            cap = dp * (bypass_cap // dp) if bypass_cap >= dp else 0
+            if p8 > cap > 0 and inst * 80 // cap <= (128 << 20):
+                p8 = cap
         inter = (
             a.hint("merge")
             .join(b, "gh")

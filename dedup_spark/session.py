@@ -60,6 +60,20 @@ def _local_dir() -> str:
         return os.environ.get("SPARK_LOCAL_DIRS", "/tmp")
 
 
+def _fd_safe_partitions(cores: int) -> int:
+    """Largest per-shuffle partition count the bypass writer can use with
+    every core running a map task at once, against the process soft FD
+    limit (4096 kept back for parquet footers, sockets, jars, spill
+    files)."""
+    try:
+        import resource
+
+        soft = resource.getrlimit(resource.RLIMIT_NOFILE)[0]
+    except Exception:
+        soft = 1024
+    return max(1, (soft - 4096) // max(1, cores))
+
+
 def get_spark(app: str = "dedup_spark", cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cores is None:
@@ -103,16 +117,20 @@ def get_spark(app: str = "dedup_spark", cores: int | None = None,
         .config("spark.local.dir", _local_dir())
         # Reduction-free exchanges (pair-gen repartitions) sort 10^8 rows
         # by partition id for nothing when they cross the default 200-
-        # partition bypass threshold: the sort-based writer buffers the
-        # whole map output (measured on the ngram pair exchange at sf1.0:
-        # 162 s of shuffle-write time + 8 GB spill in one 13 s stage; the
-        # bypass writer streams the same 128M rows in ~3 s). cores*8
-        # covers every explicitly-numbered exchange this repo plans
-        # (widest is 8x parallelism) and scales with the executor size;
-        # the per-task cost of bypass is numPartitions 32 KB file buffers
-        # — 8 MB at cores*8=256 — trivial against executor memory.
+        # partition bypass threshold: the serialized-sort writer buffers
+        # the whole map output in execution memory and spills (measured
+        # on the ngram pair exchange at sf1.0: 162 s of shuffle-write
+        # time + 8 GB spill in one 13 s stage; the bypass writer streams
+        # the same 128M rows in ~3 s). The bypass writer holds ONE open
+        # file per reducer per running task, so the ceiling is the
+        # process FD limit, not memory (measured: cores*32=1024 at 32
+        # concurrent tasks blew a 20k ulimit with "Too many open
+        # files"): allow up to cores*32 but never more than the soft
+        # FD limit minus headroom spread over the concurrent tasks.
+        # Wider exchanges than this fall back to the serialized-sort
+        # writer — batched files are the right trade there.
         .config("spark.shuffle.sort.bypassMergeThreshold",
-                str(max(200, cores * 8)))
+                str(max(200, min(cores * 32, _fd_safe_partitions(cores)))))
         # one BLAS/OMP thread per Python worker: N workers x N BLAS threads
         # oversubscribes quadratically on wide executors
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
