@@ -489,6 +489,10 @@ def _minhash_sql() -> str:
 
 _MAX_BAND_BUCKET = 1000   # direct pair-gen cap per LSH bucket
 _BAND_SALT = 10           # salted ceiling = 10,000 members per bucket
+# worst-case expanded-pair count under which the expansion may run fully
+# fused (no fusion-break / spread exchanges) — ~50M narrow rows of
+# copy-buffering, sub-second; see q_minhash_band_candidates
+_BAND_FUSED_MAX_PAIRS = 50_000_000
 
 
 def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,12 +591,24 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_members = _FRAME_ROWS.get((sf_dir, "band_members"))
     pf = (n_members is None
           or n_members * 4 > PREFILTER_MIN_BAND_ROWS)
+    # the two fusion/spread exchanges below are pure repartitions — the
+    # pair multiset is identical with or without them — and they only
+    # pay for themselves when the expanded output is large. Gate them on
+    # the WORST-CASE expansion C(n_members, 2) (every pair emitted):
+    # under _BAND_FUSED_MAX_PAIRS rows, fully fused codegen copy-buffers
+    # at most ~50M narrow rows (sub-second), while the exchanges cost
+    # ~0.8 s of barrier + shuffle wall (A/B at sf0.1: 4.0 -> 3.2 s warm).
+    # Unknown count -> keep the exchanges (the safe 100 TB posture).
+    fused = (n_members is not None
+             and n_members * (n_members - 1) // 2 <= _BAND_FUSED_MAX_PAIRS)
     p2 = spark.sparkContext.defaultParallelism * 2
     rep_pairs = salted_pairs(
         bands, _MAX_BAND_BUCKET, _BAND_SALT,
         key_cols=("band_id", "band_val"), id_col="doc_id",
         prefilter=pf,
-    ).repartition(p2, "dst", "src")
+    )
+    if not fused:
+        rep_pairs = rep_pairs.repartition(p2, "dst", "src")
     # rep pairs → member pairs via BLOCKED per-group id arrays + codegen
     # explode, not a row-level membership join: the row join emitted each
     # of the ~666M expanded pairs (sf1.0) through a hash-relation probe
@@ -631,8 +647,9 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mem_blocks.withColumnsRenamed({"rep": "src", "ids": "a_ids"}),
               "src")
         .select("dst", F.explode("a_ids").alias("a"))
-        .repartition(p, "dst", "a")
     )
+    if not fused:
+        half = half.repartition(p, "dst", "a")
     cross = (
         half
         .join(mem_blocks.withColumnsRenamed({"rep": "dst", "ids": "b_ids"}),
