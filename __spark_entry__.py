@@ -417,13 +417,18 @@ _FRAME_LOCK = _threading.RLock()
 
 
 def release_caches() -> None:
-    """Unpersist every cached frame this module holds (bench/driver hook)."""
+    """Unpersist every cached frame this module holds (bench/driver hook).
+    The recorded row counts go too: they are only trustworthy while the
+    session that measured them holds the data unchanged (a path
+    re-written between sessions must be re-measured, or the size-derived
+    plan gates would fire on stale counts)."""
     for df in _FRAME_CACHE.values():
         try:
             df.unpersist()
         except Exception:
             pass
     _FRAME_CACHE.clear()
+    _FRAME_ROWS.clear()
 
 
 def _tokh_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
